@@ -1,0 +1,18 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+This is the JAX-native fake-backend trick the torch reference lacks
+(SURVEY.md §4): multi-chip sharding code is exercised on N virtual CPU
+devices via --xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
