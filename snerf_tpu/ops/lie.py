@@ -27,16 +27,22 @@ def skew(v):
 
 
 def exp_so3(r):
-  """Rodrigues exp map, Taylor-safe near theta=0. r: [..., 3] -> [..., 3, 3]."""
-  theta = jnp.linalg.norm(r, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+  """Rodrigues exp map, Taylor-safe near theta=0. r: [..., 3] -> [..., 3, 3].
+
+  Grad-safe at r=0 via the double-where trick: sqrt only ever sees a value
+  bounded away from 0, and the small branch is polynomial in theta^2 (the
+  zero-init LearnPose tables differentiate through here every step).
+  """
+  theta_sq = jnp.sum(r ** 2, axis=-1, keepdims=True)[..., None]  # [...,1,1]
   K = skew(r)
   K2 = _mm(K, K)
-  theta_sq = theta ** 2
+  small = theta_sq < 1e-12
+  safe_theta_sq = jnp.where(small, 1.0, theta_sq)
+  theta = jnp.sqrt(safe_theta_sq)
   # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near 0.
-  small = theta < 1e-6
-  a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+  a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
   b = jnp.where(small, 0.5 - theta_sq / 24.0,
-                (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta_sq))
+                (1.0 - jnp.cos(theta)) / safe_theta_sq)
   eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), K.shape)
   return eye + a * K + b * K2
 
