@@ -1,0 +1,268 @@
+"""Unified config system: one dataclass serving all three reference roles
+(SURVEY.md §5.6 — configargparse for s-nerf, gin for zipnerf, OmegaConf for
+the simulator).
+
+UX parity: `python train.py --config <file>` plus CLI overrides, where
+<file> may be a reference-style `key = value` text config
+(s-nerf/configs/nuScenes_depth_6cams format) or YAML. Flag names follow
+reference utils/arg_parser.py:6-241. The resolved config is snapshotted
+into the experiment dir (model_utils.py:72-81 behavior).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import os
+from typing import Any, List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+  # --- experiment / paths (arg_parser.py) ---
+  expname: str = "exp"
+  basedir: str = "./exp"
+  datadir: str = "./data"
+  dataset_type: str = "nuscenes"    # nuscenes | llff | synthetic
+  config: Optional[str] = None      # config file path (filled by loader)
+
+  # --- dataset ---
+  H: int = 900
+  W: int = 1600
+  cam_num: int = 6
+  datahold: int = 4
+  bds_factor: float = 0.0
+  no_align: bool = True
+  colmap: bool = False
+  half_train: bool = False
+  fulltrain: bool = False
+  skymask: bool = False
+  near_far: bool = True            # near/far from depth bounds
+  factor: int = 1                  # image downsample factor
+
+  # --- model ---
+  N_samples: int = 128
+  N_fine: int = 128
+  N_importance: int = 64           # legacy classic-NeRF path
+  hidden_layer: int = 1024
+  rgb_layer: int = 3
+  proposal_hidden_layer: int = 256
+  max_degree: int = 16
+  multires_views: int = 4
+  use_viewdirs: bool = True
+  ray_shape: str = "cone"
+  no_warp_sample: bool = False
+  fn: Optional[int] = 1
+  radius: float = 3.0
+  transform_idx: int = 0           # 0=log 1=disparity 2=linear
+  real: bool = True
+  lindisp: bool = False
+  disable_integration: bool = False
+  density_noise: float = 0.0
+  white_bkgd: bool = False
+  encode_appearance: bool = False
+  semantic: bool = False
+  semantic_class_num: int = 19
+  randomized: bool = True
+
+  # --- training ---
+  N_rgb: int = 4096
+  N_iters: int = 200_000
+  lrate: float = 5e-4
+  lrate_final: float = 5e-6
+  lrate_delay: int = 2500
+  depth_loss: bool = False
+  depth_lambda: float = 0.2
+  disparity_depth: bool = False
+  coarse_loss_mult: float = 0.1
+  smooth_loss: bool = False
+  smooth_lambda: float = 0.02
+  N_patch: int = 8
+  patch_sz: int = 8
+  proposal_loss: bool = True
+  proposal_lambda: float = 1.0
+  semantic_lambda: float = 0.04
+  pose_refine: bool = False
+  depth_conf: bool = False
+  conf_num: int = 1
+  vgg_loss: bool = False
+  precompute_conf: bool = True
+  tau: float = 0.3
+  backcam: bool = False
+  waymo: bool = False
+  seg_mask: bool = False
+  grad_max_norm: float = 0.0
+  single_image: bool = True
+
+  # --- logging / checkpoints ---
+  i_print: int = 100
+  i_weights: int = 5000
+  i_testset: int = 200_000
+  ckpt_keep: int = 3
+  resume: bool = True
+
+  # --- eval ---
+  chunk: int = 4096
+  render_factor: int = 0
+  eval_test: bool = True
+  eval_train: bool = False
+  ckpt: int = -1                   # -1 = latest
+  test_refine_iter: int = 0
+
+  def exp_dir(self) -> str:
+    return os.path.join(self.basedir, self.expname)
+
+  # ---- adapters to the per-subsystem configs ----
+
+  def model_config(self):
+    import jax.numpy as jnp
+    from snerf_tpu.models.mipnerf import MipNerfConfig
+    t_transform = {0: "log", 1: "disparity", 2: "linear"}[self.transform_idx]
+    return MipNerfConfig(
+        num_samples=self.N_samples, num_fine=self.N_fine,
+        resample_padding=0.01, use_viewdirs=self.use_viewdirs,
+        lindisp=self.lindisp, ray_shape=self.ray_shape,
+        max_deg_point=self.max_degree, deg_view=self.multires_views,
+        density_noise=self.density_noise,
+        disable_integration=self.disable_integration,
+        no_warp_sample=self.no_warp_sample, warp_fn=self.fn,
+        warp_radius=self.radius, t_transform=t_transform,
+        hidden_layer=self.hidden_layer, rgb_layer=self.rgb_layer,
+        proposal_hidden_layer=self.proposal_hidden_layer,
+        encode_appearance=self.encode_appearance,
+        semantic=self.semantic,
+        semantic_class_num=self.semantic_class_num,
+        compute_dtype=jnp.float32)
+
+  def train_config(self):
+    from snerf_tpu.train.trainer import TrainConfig
+    return TrainConfig(
+        n_rgb=self.N_rgb, n_iters=self.N_iters, lrate=self.lrate,
+        lrate_final=self.lrate_final, lrate_delay_steps=self.lrate_delay,
+        single_image=self.single_image, white_bkgd=self.white_bkgd,
+        randomized=self.randomized, depth_loss=self.depth_loss,
+        depth_lambda=self.depth_lambda,
+        disparity_depth=self.disparity_depth,
+        coarse_depth_mult=self.coarse_loss_mult,
+        smooth_loss=self.smooth_loss, smooth_lambda=self.smooth_lambda,
+        n_patch=self.N_patch, patch_sz=self.patch_sz,
+        proposal_loss=self.proposal_loss,
+        proposal_lambda=self.proposal_lambda,
+        semantic=self.semantic, semantic_lambda=self.semantic_lambda,
+        pose_refine=self.pose_refine, grad_max_norm=self.grad_max_norm)
+
+
+def _coerce(value: str) -> Any:
+  """Parse a config-file / CLI value string into a python value."""
+  s = value.strip()
+  if s.lower() in ("true", "false"):
+    return s.lower() == "true"
+  if s.lower() in ("none", "null"):
+    return None
+  try:
+    return ast.literal_eval(s)
+  except (ValueError, SyntaxError):
+    return s
+
+
+def parse_config_file(path: str) -> dict:
+  """Parse either YAML or reference-style `key = value` lines."""
+  with open(path) as f:
+    text = f.read()
+  if path.endswith((".yaml", ".yml")):
+    import yaml
+    return yaml.safe_load(text) or {}
+  out = {}
+  for line in text.splitlines():
+    line = line.split("#")[0].strip()
+    if not line or "=" not in line:
+      continue
+    k, v = line.split("=", 1)
+    out[k.strip()] = _coerce(v)
+  return out
+
+
+_FIELD_ALIASES = {
+    # reference flag -> Config field (renames / merged flags)
+    "i_weight": "i_weights",
+    "raw_noise_std": "density_noise",
+    "patch_size": "patch_sz",
+    "coarse_depth_mult": "coarse_loss_mult",
+    "no_batching": "single_image",
+}
+
+_IGNORED_FLAGS = {
+    # accepted-and-ignored legacy flags (classic-NeRF / llff path knobs that
+    # have dedicated fields elsewhere or no TPU meaning)
+    "random_sample", "N_depth", "netdepth", "netwidth", "netdepth_fine",
+    "netwidth_fine", "netchunk", "lrate_decay", "no_reload", "ft_path",
+    "perturb", "i_embed", "multires", "render_only", "render_test",
+    "render_test_ray", "render_train", "render_mypath", "precrop_iters",
+    "precrop_frac", "testskip", "shape", "half_res", "no_ndc", "spherify",
+    "llffhold", "i_img", "i_video", "debug", "alpha_model_path",
+    "no_coarse", "train_scene", "test_scene", "colmap_depth",
+    "weighted_loss", "relative_loss", "car_sample_n", "block_bg",
+    "reg_loss", "reg_lambda", "weight_decay_mult", "distributed", "log",
+    "translation", "conf_max", "flow", "load_poses",
+    "far_bound", "no_reproj", "no_geometry", "render_sky", "half_test",
+    "semantic_loss_type",
+}
+
+
+def load_config(argv: Optional[List[str]] = None,
+                defaults: Optional[dict] = None) -> Config:
+  """--config <file> first, then CLI --key value overrides."""
+  import argparse
+  parser = argparse.ArgumentParser(add_help=False)
+  parser.add_argument("--config", type=str, default=None)
+  known, rest = parser.parse_known_args(argv)
+
+  values = dict(defaults or {})
+  if known.config:
+    values.update(parse_config_file(known.config))
+
+  # CLI overrides: --key value or --key=value (value optional => True)
+  i = 0
+  while i < len(rest):
+    tok = rest[i]
+    if not tok.startswith("--"):
+      raise ValueError(f"unexpected argument {tok!r}")
+    tok = tok[2:]
+    if "=" in tok:
+      k, v = tok.split("=", 1)
+      values[k] = _coerce(v)
+      i += 1
+    elif i + 1 < len(rest) and not rest[i + 1].startswith("--"):
+      values[tok] = _coerce(rest[i + 1])
+      i += 2
+    else:
+      values[tok] = True
+      i += 1
+
+  field_names = {f.name for f in dataclasses.fields(Config)}
+  kwargs = {}
+  for k, v in values.items():
+    k = _FIELD_ALIASES.get(k, k)
+    if k in field_names:
+      kwargs[k] = v
+    elif k in _IGNORED_FLAGS or k in _FIELD_ALIASES.values():
+      continue
+    else:
+      raise ValueError(f"unknown config key {k!r}")
+  cfg = Config(**kwargs)
+  cfg.config = known.config
+  return cfg
+
+
+def snapshot_config(cfg: Config):
+  """Dump resolved config + original file into the experiment dir
+  (model_utils.py:72-81 parity: args.txt + config.txt)."""
+  exp = cfg.exp_dir()
+  os.makedirs(exp, exist_ok=True)
+  with open(os.path.join(exp, "args.txt"), "w") as f:
+    for field in sorted(dataclasses.fields(Config), key=lambda x: x.name):
+      f.write(f"{field.name} = {getattr(cfg, field.name)}\n")
+  if cfg.config and os.path.exists(cfg.config):
+    with open(cfg.config) as src, \
+         open(os.path.join(exp, "config.txt"), "w") as dst:
+      dst.write(src.read())

@@ -1,0 +1,52 @@
+"""Checkpoint save/restore with resume-latest semantics (orbax-backed).
+
+Behavioral parity targets:
+  reference s-nerf/train.py:264-280 (ckpt every i_weights with model +
+  optimizer + confidence states; pose net saved as a separate stream),
+  s-nerf/utils/model_utils.py:44-63 (resume last sorted ckpt),
+  s-nerfpp/zipnerf/internal/checkpoints.py:6-95 (step-suffixed dirs,
+  natural sort, keep-k pruning, posenet_ckpt_ prefix).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, keep: int = 3) -> ocp.CheckpointManager:
+  options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+  return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 3,
+                    wait: bool = False):
+  """Save a pytree state under ckpt_dir/<step>/ (async by default)."""
+  mngr = _manager(ckpt_dir, keep)
+  mngr.save(step, args=ocp.args.StandardSave(state))
+  if wait:
+    mngr.wait_until_finished()
+  return mngr
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+  if not os.path.isdir(ckpt_dir):
+    return None
+  mngr = _manager(ckpt_dir)
+  return mngr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any,
+                       step: Optional[int] = None):
+  """Restore the given (or latest) step into the structure of `target`.
+
+  Returns (state, step) or (target, None) when no checkpoint exists.
+  """
+  mngr = _manager(ckpt_dir)
+  step = step if step is not None else mngr.latest_step()
+  if step is None:
+    return target, None
+  restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+  return restored, step

@@ -1,0 +1,86 @@
+"""Chunked full-image rendering over the device mesh.
+
+Behavioral parity target: reference s-nerf/model/models.py:328-360
+(render_image: chunk rays, pad to device count, DataParallel scatter,
+unshard) and zipnerf models.py:723-813 (per-rank slice + gather).
+
+TPU-native: each chunk is batch-sharded over the mesh data axis with pjit
+in-shardings; XLA gathers the output tiles (SURVEY §5.7 — ray-batch
+sharding IS the context-parallelism analog here, no halo needed).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snerf_tpu.ops.rays import Rays, pad_rays
+
+
+def render_rays_chunked(render_fn: Callable[[Rays], dict],
+                        rays: Rays,
+                        chunk: int = 4096,
+                        mesh=None):
+  """Apply a jitted per-chunk render fn over a flat [N] ray bundle.
+
+  render_fn: Rays -> dict of [N, ...] arrays. Returns dict of np arrays.
+  """
+  n = rays.origins.shape[0]
+  n_dev = mesh.devices.size if mesh is not None else 1
+  outs = []
+  for start in range(0, n, chunk):
+    stop = min(start + chunk, n)
+    sl = jax.tree_util.tree_map(lambda x: x[start:stop], rays)
+    pad_to = max(((stop - start + n_dev - 1) // n_dev) * n_dev, n_dev)
+    sl = pad_rays(sl, pad_to)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+      sl = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), sl)
+    out = render_fn(sl)
+    out = jax.tree_util.tree_map(
+        lambda x: np.asarray(x[:stop - start]), out)
+    outs.append(out)
+  return jax.tree_util.tree_map(
+      lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+
+def render_image(render_fn: Callable[[Rays], dict],
+                 rays: Rays,
+                 chunk: int = 4096,
+                 mesh=None):
+  """Render a full [H, W] ray grid; returns dict of [H, W, ...] arrays."""
+  H, W = rays.origins.shape[:2]
+  flat = jax.tree_util.tree_map(
+      lambda x: x.reshape(-1, x.shape[-1]), rays)
+  out = render_rays_chunked(render_fn, flat, chunk=chunk, mesh=mesh)
+  return jax.tree_util.tree_map(
+      lambda x: x.reshape(H, W, *x.shape[1:]), out)
+
+
+def make_eval_render_fn(model, params, white_bkgd: bool = False,
+                        viewc=None):
+  """Jitted deterministic render of the fine level (eval.py:133-169)."""
+
+  @jax.jit
+  def render_fn(rays: Rays):
+    ret = model.apply({"params": params}, rays, rng=None,
+                      white_bkgd=white_bkgd, viewc=viewc)
+    fine = ret[-1]
+    out = {"rgb": fine["rgb"], "distance": fine["distance"][..., None],
+           "acc": fine["acc"][..., None]}
+    if fine.get("semantic") is not None:
+      out["semantic"] = fine["semantic"]
+    return out
+
+  return render_fn
+
+
+def pred2real(pred_distance, near, far):
+  """Disparity-space prediction -> metric depth (eval.py:28-30 parity):
+  d = 1 / (s/far + (1-s)/near). Only used for models whose rendered
+  `distance` lives in normalized disparity space."""
+  return 1.0 / (pred_distance / far + (1.0 - pred_distance) / near)

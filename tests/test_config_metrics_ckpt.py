@@ -1,0 +1,107 @@
+"""Config parsing, metrics (SSIM vs closed forms), checkpoint round-trip."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snerf_tpu.config import Config, load_config, parse_config_file
+from snerf_tpu.utils.metrics import (
+    MetricHarness, MiouEvaluator, ms_ssim, psnr, ssim)
+
+
+def test_parse_reference_style_config(tmp_path):
+  p = tmp_path / "cfg"
+  p.write_text("""
+expname = scene_x
+N_rgb = 2048
+lrate = 5e-4
+ray_shape = 'cone'
+depth_loss = True
+fn = 1
+radius = 3.
+no_align = 1
+""")
+  vals = parse_config_file(str(p))
+  assert vals["expname"] == "scene_x"
+  assert vals["N_rgb"] == 2048
+  assert vals["lrate"] == 5e-4
+  assert vals["ray_shape"] == "cone"
+  assert vals["depth_loss"] is True
+  assert vals["no_align"] == 1
+
+
+def test_load_config_cli_overrides(tmp_path):
+  p = tmp_path / "cfg"
+  p.write_text("N_rgb = 1024\nexpname = a\n")
+  cfg = load_config(["--config", str(p), "--N_rgb", "512",
+                     "--depth_loss", "--lrate=1e-3"])
+  assert cfg.N_rgb == 512
+  assert cfg.expname == "a"
+  assert cfg.depth_loss is True
+  assert cfg.lrate == 1e-3
+
+
+def test_load_reference_shipped_config_names():
+  cfg = load_config(["--config", "configs/nuScenes_depth_6cams"])
+  assert cfg.N_rgb == 4096
+  assert cfg.hidden_layer == 1024
+  assert cfg.transform_idx == 0
+  assert cfg.pose_refine is True
+  mcfg = cfg.model_config()
+  assert mcfg.num_samples == 128 and mcfg.t_transform == "log"
+  tcfg = cfg.train_config()
+  assert tcfg.disparity_depth is True
+
+
+def test_unknown_key_rejected(tmp_path):
+  p = tmp_path / "cfg"
+  p.write_text("definitely_not_a_flag = 1\n")
+  with pytest.raises(ValueError):
+    load_config(["--config", str(p)])
+
+
+def test_ssim_identity_and_noise():
+  img = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3),
+                    jnp.float32)
+  assert float(ssim(img, img)) > 0.999
+  noisy = jnp.clip(img + 0.3 * np.random.RandomState(1).randn(32, 32, 3), 0, 1)
+  v = float(ssim(img, noisy.astype(jnp.float32)))
+  assert v < 0.8
+  m = ssim(img, img, return_map=True)
+  assert m.shape == (22, 22, 3)  # VALID conv: 32 - 2*(11-1)/2*2
+
+
+def test_msssim_and_psnr():
+  img = jnp.asarray(np.random.RandomState(0).rand(192, 192, 3), jnp.float32)
+  assert float(ms_ssim(img, img)) > 0.99
+  assert float(psnr(img, img + 0.1)) == pytest.approx(20.0, abs=0.1)
+
+
+def test_metric_harness_and_miou():
+  h = MetricHarness()
+  img = jnp.ones((24, 24, 3)) * 0.5
+  m = h(img, img + 0.05)
+  assert m["psnr"] == pytest.approx(26.02, abs=0.1)
+  ev = MiouEvaluator(3)
+  gt = np.array([0, 0, 1, 1, 2, 2])
+  pred = np.array([0, 0, 1, 2, 2, 2])
+  ev.add_batch(gt, pred)
+  # class0: 2/2, class1: 1/2, class2: 2/3
+  assert ev.miou() == pytest.approx((1 + 0.5 + 2 / 3) / 3, abs=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+  from snerf_tpu.train import checkpoints as C
+  state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+  C.save_checkpoint(str(tmp_path / "ck"), state, step=7, wait=True)
+  target = {"params": {"w": jnp.zeros(4)}, "step": jnp.asarray(0)}
+  restored, step = C.restore_checkpoint(str(tmp_path / "ck"), target)
+  assert step == 7
+  np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                             np.arange(4.0))
+  # resume-latest picks the max step
+  C.save_checkpoint(str(tmp_path / "ck"), state, step=12, wait=True)
+  _, step = C.restore_checkpoint(str(tmp_path / "ck"), target)
+  assert step == 12
