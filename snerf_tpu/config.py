@@ -149,7 +149,21 @@ class Config:
         proposal_loss=self.proposal_loss,
         proposal_lambda=self.proposal_lambda,
         semantic=self.semantic, semantic_lambda=self.semantic_lambda,
-        pose_refine=self.pose_refine, grad_max_norm=self.grad_max_norm)
+        pose_refine=self.pose_refine, grad_max_norm=self.grad_max_norm,
+        depth_conf=self.depth_conf, conf_num=self.conf_num,
+        conf_tau=self.tau, conf_modes=self.conf_modes(),
+        use_skymask_conf=self.skymask)
+
+  def conf_modes(self):
+    """Confidence mode list (build_confidence_model confidence.py:171-181).
+    The vgg mode activates when feature weights are available (plug-in
+    contract, SURVEY §7 step 5 — pretrained VGG cannot be downloaded in a
+    zero-egress build; snerf_tpu.models.features falls back to a seeded
+    random feature pyramid when --vgg_loss is set without weights)."""
+    modes = ["rgb", "ssim", "depth"]
+    if self.vgg_loss:
+      modes.append("vgg")
+    return tuple(modes)
 
 
 def _coerce(value: str) -> Any:

@@ -1,0 +1,101 @@
+"""VGG-style perceptual feature distance for the confidence 'vgg' mode.
+
+Behavioral parity target: reference s-nerf/model/confidence.py:8-63
+(VGGLoss: torchvision VGG19 relu1_1/relu2_1/relu3_1/relu4_1 slices,
+weighted per-pixel L1 feature distance upsampled to (H, W), weights
+[1/16, 1/8, 1/4, 1]).
+
+Weights: pretrained VGG19 cannot be downloaded in a zero-egress build. The
+extractor loads torchvision-format conv weights from `weights_path` (a
+torch .pth state_dict saved locally) when given; otherwise it uses a
+fixed-seed He-initialized network — a random conv pyramid still measures
+structural mismatch (random-projection distance preservation), which is
+sufficient for a *relative* confidence ranking, and the mode stays behind
+the --vgg_loss flag exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision VGG19 `features` layout up to relu4_1:
+# ("conv", tv_index, out_ch) | ("pool",) | ("tap",) where "tap" marks a
+# slice output (after relu1_1, relu2_1, relu3_1, relu4_1 — the reference's
+# slice1..4, confidence.py:45-53).
+_OPS = [
+    ("conv", 0, 64), ("tap",),
+    ("conv", 2, 64), ("pool",), ("conv", 5, 128), ("tap",),
+    ("conv", 7, 128), ("pool",), ("conv", 10, 256), ("tap",),
+    ("conv", 12, 256), ("conv", 14, 256), ("conv", 16, 256), ("pool",),
+    ("conv", 19, 512), ("tap",),
+]
+_SLICE_WEIGHTS = (1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+
+def _init_params(weights_path: Optional[str] = None, seed: int = 0):
+  """{tv_index: (kernel [k,k,cin,cout], bias)} for every conv op."""
+  if weights_path is not None:
+    import torch
+    sd = torch.load(weights_path, map_location="cpu")
+    def make(idx, cin, cout):
+      w = np.asarray(sd[f"features.{idx}.weight"]).transpose(2, 3, 1, 0)
+      b = np.asarray(sd[f"features.{idx}.bias"])
+      return jnp.asarray(w, jnp.float32), jnp.asarray(b, jnp.float32)
+  else:
+    rng = np.random.RandomState(seed)
+    def make(idx, cin, cout):
+      std = np.sqrt(2.0 / (3 * 3 * cin))
+      w = rng.randn(3, 3, cin, cout).astype(np.float32) * std
+      return jnp.asarray(w), jnp.zeros(cout, jnp.float32)
+
+  params = {}
+  cin = 3
+  for op in _OPS:
+    if op[0] == "conv":
+      _, idx, cout = op
+      params[idx] = make(idx, cin, cout)
+      cin = cout
+  return params
+
+
+def _conv(x, w, b):
+  y = jax.lax.conv_general_dilated(
+      x[None], w, window_strides=(1, 1), padding="SAME",
+      dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+  return jax.nn.relu(y + b)
+
+
+def _maxpool2(x):
+  return jax.lax.reduce_window(
+      x, -jnp.inf, jax.lax.max, (2, 2, 1), (2, 2, 1), "VALID")
+
+
+def make_feature_fn(weights_path: Optional[str] = None, seed: int = 0):
+  """Returns feature_fn(img0, img1) -> [H, W] perceptual error map."""
+  params = _init_params(weights_path, seed)
+
+  def feature_fn(img0, img1):
+    H, W = img0.shape[:2]
+    x, y = img0, img1
+    err = jnp.zeros((H, W))
+    tap = 0
+    for op in _OPS:
+      if op[0] == "conv":
+        w, b = params[op[1]]
+        x, y = _conv(x, w, b), _conv(y, w, b)
+      elif op[0] == "pool":
+        x, y = _maxpool2(x), _maxpool2(y)
+      else:  # tap
+        e = jnp.abs(x - y).mean(-1)
+        if tap > 0:
+          e = jax.image.resize(e[..., None], (H, W, 1),
+                               method="bilinear")[..., 0]
+        err = err + _SLICE_WEIGHTS[tap] * e
+        tap += 1
+    return err
+
+  return feature_fn

@@ -21,6 +21,7 @@ from typing import Any, Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from snerf_tpu.data import sampler
@@ -58,6 +59,13 @@ class TrainConfig:
   # pose refinement
   pose_refine: bool = False
   pose_lrate: float = 1e-3
+  # depth confidence (reference --depth_conf; confidence.py:171-185)
+  depth_conf: bool = False
+  conf_num: int = 1
+  conf_tau: float = 0.2
+  conf_lrate: float = 1e-3
+  conf_modes: tuple = ("rgb", "ssim", "depth")
+  use_skymask_conf: bool = True
   # grad hygiene
   grad_max_norm: float = 0.0
   grad_max_val: float = 0.0
@@ -102,6 +110,14 @@ def create_train_state(key, model_cfg: MipNerfConfig, cfg: TrainConfig,
     state = state.replace(
         pose_params=pose_vars["params"],
         pose_opt_state=pose_tx.init(pose_vars["params"]))
+  if cfg.depth_conf:
+    from snerf_tpu.models.confidence import ConfidenceModel
+    conf_model = ConfidenceModel(cfg.conf_modes, num_images,
+                                 tau=cfg.conf_tau)
+    conf_params = conf_model.init_params()
+    conf_tx = optax.adam(cfg.conf_lrate)
+    state = state.replace(conf_params=conf_params,
+                          conf_opt_state=conf_tx.init(conf_params))
   return model, pose_model, state
 
 
@@ -113,20 +129,38 @@ def make_train_step(model: MipNerfModel,
                     near: float,
                     far: float,
                     donate: bool = True,
-                    mesh=None):
+                    mesh=None,
+                    conf_maps=None):
   """Build the jitted train_step(state, key) -> (state, metrics).
 
   With `mesh`, the ray batch is shard-constrained over the mesh's data axis
   (XLA SPMD then psums grads over ICI — the DDP replacement, SURVEY §2.5).
+  conf_maps: [n_train, n_modes, H, W] precomputed confidence (uint8 or f32)
+  enabling the depth_conf path (confidence.py:187-225 parity).
   """
   tx = optax.adam(learning_rate=make_lr_schedule(cfg))
   pose_tx = optax.adam(cfg.pose_lrate) if pose_model is not None else None
+  conf_tx = optax.adam(cfg.conf_lrate) if cfg.depth_conf else None
+  conf_model = None
+  if cfg.depth_conf:
+    from snerf_tpu.models.confidence import ConfidenceModel
+    conf_model = ConfidenceModel(cfg.conf_modes,
+                                 device_scene["poses"].shape[0],
+                                 tau=cfg.conf_tau)
+    if conf_maps is not None:
+      conf_maps = jnp.asarray(conf_maps)
   i_train = jnp.asarray(i_train, jnp.int32)
+  # inverse map: image id -> position in i_train (for conf_maps indexing)
+  num_imgs_total = device_scene["poses"].shape[0]
+  inv = np.zeros(num_imgs_total, np.int32)
+  inv[np.asarray(i_train)] = np.arange(len(np.asarray(i_train)))
+  i_train_pos = jnp.asarray(inv)
+
   init_poses = device_scene["poses"]
   num_images = init_poses.shape[0]
   n_patches = cfg.n_patch if cfg.smooth_loss else 0
 
-  def loss_fn(params, pose_params, key):
+  def loss_fn(params, pose_params, conf_params, key):
     k_sample, k_model = jax.random.split(key)
     pose_table = init_poses
     if pose_model is not None:
@@ -184,13 +218,28 @@ def make_train_step(model: MipNerfModel,
       metrics["loss_semantic"] = sem_loss
 
     if cfg.depth_loss and "depth" in targets:
+      # Only depth==0 is excluded; sky pixels keep their clipped depth
+      # target and (under depth_conf) confidence 1 (reference
+      # confidence.py:199-225, load_nuscenes.py:176-200).
       mask = None
-      if "skymask" in targets:
-        mask = ~targets["skymask"][:nr]
+      conf_weight = None
+      if conf_model is not None and conf_maps is not None:
+        pos = i_train_pos[targets["img_idx"][:nr]]
+        stack = conf_maps[pos, :, targets["py"][:nr], targets["px"][:nr]]
+        stack = stack.astype(jnp.float32)
+        if conf_maps.dtype == jnp.uint8:
+          stack = stack / 255.0
+        conf_weight = conf_model.combine(
+            conf_params, stack.T, targets["img_idx"][:nr])
+        if cfg.use_skymask_conf and "skymask" in targets:
+          # sky rays get confidence 1 (confidence.py:199-201)
+          conf_weight = jnp.where(targets["skymask"][:nr], 1.0,
+                                  conf_weight)
       dl = L.depth_loss(fine["distance"][:nr], coarse["distance"][:nr],
                         targets["depth"][:nr], mask=mask,
                         disparity=cfg.disparity_depth,
-                        coarse_mult=cfg.coarse_depth_mult)
+                        coarse_mult=cfg.coarse_depth_mult,
+                        conf_weight=conf_weight)
       total = total + dl * cfg.depth_lambda
       metrics["loss_depth"] = dl
 
@@ -198,14 +247,18 @@ def make_train_step(model: MipNerfModel,
     return total, metrics
 
   def train_step(state: TrainState, key):
+    argnums = [0]
     if pose_model is not None:
-      (_, metrics), (grads, pose_grads) = jax.value_and_grad(
-          loss_fn, argnums=(0, 1), has_aux=True)(
-              state.params, state.pose_params, key)
-    else:
-      (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-          state.params, state.pose_params, key)
-      pose_grads = None
+      argnums.append(1)
+    if conf_model is not None:
+      argnums.append(2)
+    (_, metrics), grad_tuple = jax.value_and_grad(
+        loss_fn, argnums=tuple(argnums), has_aux=True)(
+            state.params, state.pose_params, state.conf_params, key)
+    grad_list = list(grad_tuple)
+    grads = grad_list.pop(0)
+    pose_grads = grad_list.pop(0) if pose_model is not None else None
+    conf_grads = grad_list.pop(0) if conf_model is not None else None
 
     if cfg.grad_max_val > 0 or cfg.grad_max_norm > 0:
       grads = smath.clip_gradients(
@@ -223,6 +276,12 @@ def make_train_step(model: MipNerfModel,
       state = state.replace(
           pose_params=optax.apply_updates(state.pose_params, p_updates),
           pose_opt_state=new_pose_opt)
+    if conf_model is not None:
+      c_updates, new_conf_opt = conf_tx.update(
+          conf_grads, state.conf_opt_state, state.conf_params)
+      state = state.replace(
+          conf_params=optax.apply_updates(state.conf_params, c_updates),
+          conf_opt_state=new_conf_opt)
     return state, metrics
 
   donate_argnums = (0,) if donate else ()

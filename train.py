@@ -66,12 +66,25 @@ def main(argv=None):
       start_step = int(restored)
       print(f"resumed from step {start_step}")
 
+  conf_maps = None
+  if cfg.depth_conf and scene.depths is not None:
+    from snerf_tpu.models.confidence import precompute_conf_maps
+    feature_fn = None
+    if cfg.vgg_loss:
+      from snerf_tpu.models.features import make_feature_fn
+      feature_fn = make_feature_fn()
+    print(f"precomputing confidence maps ({tcfg.conf_modes}) ...")
+    conf_maps = precompute_conf_maps(
+        tcfg.conf_modes, scene, conf_num=cfg.conf_num, tau=cfg.tau,
+        feature_fn=feature_fn)
+    print(f"conf maps: {conf_maps.shape} {conf_maps.dtype}")
+
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   ctx = mesh or _nullcontext()
   with ctx:
     step_fn = make_train_step(model, pose_model, tcfg, dev_scene,
                               scene.i_train, scene.near, scene.far,
-                              mesh=mesh)
+                              mesh=mesh, conf_maps=conf_maps)
     key = jax.random.PRNGKey(start_step + 1)
     t0 = time.perf_counter()
     rays_done = 0
