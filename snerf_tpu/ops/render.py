@@ -122,12 +122,13 @@ def cast_rays_multisample(key, t_vals, origins, directions, radii,
   deg = jnp.broadcast_to(2 * jnp.pi * m * j / n, t.shape)
   if key is not None:
     deg = deg + jax.random.uniform(key, deg.shape) * jnp.pi * 2
+  r = radii[..., None, None]  # [..., 1, 1] broadcasting over (S, n)
   means = jnp.stack([
-      radii[..., None] * t * jnp.cos(deg) / 2,
-      radii[..., None] * t * jnp.sin(deg) / 2,
+      r * t * jnp.cos(deg) / 2,
+      r * t * jnp.sin(deg) / 2,
       t,
   ], axis=-1)
-  stds = std_scale * radii[..., None] * t
+  stds = std_scale * r * t
   # basis columns: [base_x | base_y | dir]; world = basis @ local per point.
   basis = jnp.stack([base_x, base_y, directions], axis=-1)
   means = jnp.einsum("...snj,...ij->...sni", means, basis)

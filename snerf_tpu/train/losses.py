@@ -137,11 +137,23 @@ def interlevel_loss_anti(s_prop, w_prop, s_nerf, w_nerf, blur_r: float,
 
 
 def _integrate_pwl(x, y, t):
-  """Integral of the piecewise-linear fn (x, y) over each interval of t."""
-  # Antiderivative at the knots.
+  """Integral of the piecewise-linear density (x, y) over each interval of t.
+
+  The antiderivative of a linear density is quadratic; we evaluate it
+  exactly (the reference's sorted_interp_quad, zipnerf math.py:133+),
+  not by linear interpolation of the CDF.
+  """
+  from snerf_tpu.ops import math as smath
   seg = 0.5 * (y[..., :-1] + y[..., 1:]) * (x[..., 1:] - x[..., :-1])
   acc = jnp.concatenate(
       [jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
-  from snerf_tpu.ops import math as smath
-  acc_at_t = smath.sorted_interp(t, x, acc)
+  idx_lo, idx_hi = smath.searchsorted(x, t)
+  x0 = jnp.take_along_axis(x, idx_lo, axis=-1)
+  x1 = jnp.take_along_axis(x, idx_hi, axis=-1)
+  y0 = jnp.take_along_axis(y, idx_lo, axis=-1)
+  y1 = jnp.take_along_axis(y, idx_hi, axis=-1)
+  acc0 = jnp.take_along_axis(acc, idx_lo, axis=-1)
+  dx = jnp.clip(t - x0, 0.0, jnp.maximum(x1 - x0, 0.0))
+  slope = jnp.where(x1 > x0, (y1 - y0) / jnp.maximum(x1 - x0, 1e-20), 0.0)
+  acc_at_t = acc0 + y0 * dx + 0.5 * slope * dx ** 2
   return acc_at_t[..., 1:] - acc_at_t[..., :-1]

@@ -1,0 +1,210 @@
+"""zip-nerf (S-NeRF++ background) training step.
+
+Behavioral parity targets (re-derived):
+  reference s-nerfpp/zipnerf/train.py:30-539 (loop: posenet warmup window,
+  data charb + inverse-depth + semantic NLL + patch smoothness losses),
+  internal/train_utils.py:55-243 (charb data loss, anti-interlevel with
+  pulse widths [0.03, 0.003], distortion 0.005, hash decay 0.1, grad
+  clip + nan scrub), internal/configs.py:60-85 (multipliers).
+
+Same TPU architecture as trainer.py: one jitted step, on-device sampling,
+data-mesh sharding; the hash tables are replicated (they fit HBM,
+SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snerf_tpu.data import sampler
+from snerf_tpu.models.hashgrid import hash_decay_loss, make_grid_spec
+from snerf_tpu.models.zipnerf import ZipNerfConfig, ZipNerfModel
+from snerf_tpu.ops import math as smath
+from snerf_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class ZipTrainConfig:
+  """zipnerf schedule (config.gin: 50k steps, batch 32768; configs.py)."""
+  batch_size: int = 32768
+  max_steps: int = 50_000
+  lr_init: float = 0.01
+  lr_final: float = 0.001
+  lr_delay_steps: int = 5000
+  lr_delay_mult: float = 1e-8
+  adam_beta1: float = 0.9
+  adam_beta2: float = 0.99
+  adam_eps: float = 1e-15
+  grad_max_norm: float = 0.001
+  grad_max_val: float = 0.0
+  # loss multipliers
+  data_loss_mult: float = 1.0
+  charb_padding: float = 0.001
+  anti_interlevel_loss_mult: float = 0.01
+  pulse_width: Tuple[float, ...] = (0.03, 0.003)
+  distortion_loss_mult: float = 0.005
+  hash_decay_mult: float = 0.1
+  depth_loss_mult: float = 0.0       # inverse-depth loss (train.py:255-258)
+  semantic_loss_mult: float = 0.04   # NLL x 0.04 (train.py:299-303)
+  single_image: bool = False         # zipnerf samples across all images
+  randomized: bool = True
+
+
+class ZipTrainState(flax.struct.PyTreeNode):
+  step: jnp.ndarray
+  params: Any
+  opt_state: Any
+
+
+def make_zip_lr_schedule(cfg: ZipTrainConfig):
+  import functools
+  return functools.partial(
+      smath.learning_rate_decay, lr_init=cfg.lr_init,
+      lr_final=cfg.lr_final, max_steps=cfg.max_steps,
+      lr_delay_steps=cfg.lr_delay_steps, lr_delay_mult=cfg.lr_delay_mult)
+
+
+def _make_tx(cfg: ZipTrainConfig):
+  return optax.adam(learning_rate=make_zip_lr_schedule(cfg),
+                    b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                    eps=cfg.adam_eps)
+
+
+def create_zip_train_state(key, model_cfg: ZipNerfConfig,
+                           cfg: ZipTrainConfig):
+  from snerf_tpu.models.zipnerf import init_zipnerf
+  model, variables = init_zipnerf(key, model_cfg)
+  params = variables["params"]
+  tx = _make_tx(cfg)
+  return model, ZipTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=tx.init(params))
+
+
+def _grid_specs(model_cfg: ZipNerfConfig):
+  """(param path, GridSpec) for every hash table in the model."""
+  specs = []
+  for i, res in enumerate(model_cfg.prop_grid_resolutions
+                          [:model_cfg.num_levels - 1]):
+    specs.append((f"prop_mlp_{i}", make_grid_spec(
+        model_cfg.grid_num_levels, model_cfg.prop_grid_level_dim,
+        model_cfg.grid_base_resolution, res,
+        model_cfg.grid_log2_hashmap_size)))
+  specs.append(("nerf_mlp", make_grid_spec(
+      model_cfg.grid_num_levels, model_cfg.nerf_grid_level_dim,
+      model_cfg.grid_base_resolution, model_cfg.nerf_grid_resolution,
+      model_cfg.grid_log2_hashmap_size)))
+  return specs
+
+
+def make_zip_train_step(model: ZipNerfModel,
+                        model_cfg: ZipNerfConfig,
+                        cfg: ZipTrainConfig,
+                        device_scene: dict,
+                        i_train,
+                        near: float,
+                        far: float,
+                        donate: bool = True,
+                        mesh=None):
+  tx = _make_tx(cfg)
+  i_train = jnp.asarray(i_train, jnp.int32)
+  specs = _grid_specs(model_cfg)
+
+  def loss_fn(params, key, train_frac):
+    k_sample, k_model = jax.random.split(key)
+    rays, targets = sampler.sample_batch(
+        k_sample, device_scene, i_train, cfg.batch_size, near, far,
+        single_image=cfg.single_image)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+      constrain = lambda x: jax.lax.with_sharding_constraint(x, sh)
+      rays = jax.tree_util.tree_map(constrain, rays)
+      targets = jax.tree_util.tree_map(constrain, targets)
+
+    renderings, ray_history = model.apply(
+        {"params": params}, rays,
+        rng=k_model if cfg.randomized else None,
+        train_frac=train_frac)
+    final = renderings[-1]
+
+    data = L.charbonnier_loss(final["rgb"], targets["rgb"],
+                              padding=cfg.charb_padding)
+    total = cfg.data_loss_mult * data
+    metrics = {"loss_data": data,
+               "psnr": smath.mse_to_psnr(
+                   jnp.mean((final["rgb"] - targets["rgb"]) ** 2))}
+
+    # anti-aliased interlevel (train_utils.py:132-164)
+    if cfg.anti_interlevel_loss_mult > 0:
+      c = jax.lax.stop_gradient(ray_history[-1]["sdist"])
+      w = jax.lax.stop_gradient(ray_history[-1]["weights"])
+      il = 0.0
+      for i, rh in enumerate(ray_history[:-1]):
+        il = il + L.interlevel_loss_anti(
+            rh["sdist"], rh["weights"], c, w,
+            blur_r=cfg.pulse_width[i], weight=1.0)
+      il = il * cfg.anti_interlevel_loss_mult
+      total = total + il
+      metrics["loss_interlevel"] = il
+
+    if cfg.distortion_loss_mult > 0:
+      dist = L.distortion_loss(ray_history[-1]["sdist"],
+                               ray_history[-1]["weights"],
+                               weight=cfg.distortion_loss_mult)
+      total = total + dist
+      metrics["loss_distortion"] = dist
+
+    if cfg.hash_decay_mult > 0:
+      hd = 0.0
+      for name, spec in specs:
+        hd = hd + hash_decay_loss(params[name]["grid"]["table"], spec,
+                                  weight=1.0)
+      hd = hd * cfg.hash_decay_mult
+      total = total + hd
+      metrics["loss_hash_decay"] = hd
+
+    if cfg.depth_loss_mult > 0 and "depth" in targets:
+      # inverse-depth L1 (zipnerf train.py:255-258,276-278)
+      eps = 1e-5
+      err = jnp.abs(1.0 / (final["depth"] + eps) -
+                    1.0 / (targets["depth"] + eps))
+      dl = L.masked_mean(err, targets["depth"] > 0)
+      total = total + cfg.depth_loss_mult * dl
+      metrics["loss_depth"] = dl
+
+    if cfg.semantic_loss_mult > 0 and "semantic" in targets and \
+        final.get("semantic") is not None:
+      # NLL on composited softmax probabilities (train.py:299-303)
+      probs = jnp.clip(final["semantic"], 1e-6, 1.0)
+      lab = targets["semantic"].astype(jnp.int32)
+      nll = -jnp.log(jnp.take_along_axis(probs, lab[..., None],
+                                         axis=-1))[..., 0]
+      sl = cfg.semantic_loss_mult * jnp.mean(nll)
+      total = total + sl
+      metrics["loss_semantic"] = sl
+
+    metrics["loss"] = total
+    return total, metrics
+
+  def train_step(state: ZipTrainState, key):
+    train_frac = jnp.clip(state.step / cfg.max_steps, 0.0, 1.0)
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, key, train_frac)
+    grads = smath.clip_gradients(
+        grads,
+        max_val=cfg.grad_max_val if cfg.grad_max_val > 0 else None,
+        max_norm=cfg.grad_max_norm if cfg.grad_max_norm > 0 else None)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt), metrics
+
+  donate_argnums = (0,) if donate else ()
+  return jax.jit(train_step, donate_argnums=donate_argnums)

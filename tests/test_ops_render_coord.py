@@ -93,7 +93,7 @@ def test_multisample_cast_rays_centers():
   directions = jnp.array([[0.0, 0.0, 1.0]])
   base_x = jnp.array([[1.0, 0.0, 0.0]])
   base_y = jnp.array([[0.0, 1.0, 0.0]])
-  radii = jnp.array([[0.1]])
+  radii = jnp.array([0.1])  # [batch] — per-ray scalar radius
   means, stds = render.cast_rays_multisample(None, t_vals, origins,
                                              directions, radii, base_x,
                                              base_y, n=7, m=3)
