@@ -33,11 +33,18 @@ def main(argv=None):
   ckpt_dir = os.path.join(exp_dir, "checkpoints")
 
   scene = load_scene(cfg)
-  mcfg = cfg.model_config()
-  tcfg = cfg.train_config()
-  model, pose_model, state = create_train_state(
-      jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
   step = None if cfg.ckpt < 0 else cfg.ckpt
+  if cfg.model == "zipnerf":
+    from snerf_tpu.train.zip_trainer import create_zip_train_state
+    zmcfg = cfg.zip_model_config()
+    ztcfg = cfg.zip_train_config()
+    model, state = create_zip_train_state(jax.random.PRNGKey(0), zmcfg,
+                                          ztcfg)
+  else:
+    mcfg = cfg.model_config()
+    tcfg = cfg.train_config()
+    model, pose_model, state = create_train_state(
+        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
   state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
   if restored is None:
     raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
@@ -48,8 +55,21 @@ def main(argv=None):
 
   idxs = scene.i_test if cfg.eval_test else scene.i_train
   mesh = make_mesh() if len(jax.devices()) > 1 else None
-  render_fn = make_eval_render_fn(model, state.params,
-                                  white_bkgd=cfg.white_bkgd)
+  if cfg.model == "zipnerf":
+    params = state.params
+
+    @jax.jit
+    def render_fn(rays):
+      rend, _ = model.apply({"params": params}, rays, rng=None)
+      out = {"rgb": rend[-1]["rgb"],
+             "distance": rend[-1]["depth"][..., None],
+             "acc": rend[-1]["acc"][..., None]}
+      if rend[-1].get("semantic") is not None:
+        out["semantic"] = rend[-1]["semantic"]
+      return out
+  else:
+    render_fn = make_eval_render_fn(model, state.params,
+                                    white_bkgd=cfg.white_bkgd)
   harness = MetricHarness()
   H, W = scene.hw
   results = []

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Batch render CLI: render trained scenes at test / novel / random poses.
+
+Behavioral parity target: reference
+s-nerfpp/zipnerf/random_render_waymo_seq.py:112-228 — load checkpoint,
+render RENDER_N random novel poses (WAYMO_RENDER), save rgb/, depth/
+(uint16 /sf x256), semantic/ (argmax labels), raw_target_poses.npy,
+intrinsic.npy, render_poses.npy. This is the S-NeRF++ simulation
+pipeline's background-render entry (api_code/background_zipnerf.py).
+
+Usage: python render.py --config <file> [--render_n 70 --render_mode
+random|test|path]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main(argv=None):
+  import imageio.v2 as imageio
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from snerf_tpu.config import load_config
+  from snerf_tpu.data import camera_utils
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.data.waymo import generate_random_render_poses, render2raw
+  from snerf_tpu.parallel import make_mesh
+  from snerf_tpu.train import checkpoints as ckpt_lib
+  from snerf_tpu.train.renderer import render_image
+  from train import load_scene
+
+  # render-only extra flags
+  extra = {"render_n": 70, "render_mode": "test", "render_seed": 0,
+           "out_dir": None}
+  argv = list(argv or [])
+  for k in list(extra):
+    if f"--{k}" in argv:
+      i = argv.index(f"--{k}")
+      extra[k] = argv[i + 1]
+      del argv[i:i + 2]
+  cfg = load_config(argv)
+  exp_dir = cfg.exp_dir()
+  ckpt_dir = os.path.join(exp_dir, "checkpoints")
+  out_dir = extra["out_dir"] or os.path.join(exp_dir, "render")
+  for sub in ("rgb", "depth", "semantic"):
+    os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+  scene = load_scene(cfg)
+  step = None if cfg.ckpt < 0 else cfg.ckpt
+  if cfg.model == "zipnerf":
+    from snerf_tpu.train.zip_trainer import create_zip_train_state
+    model, state = create_zip_train_state(
+        jax.random.PRNGKey(0), cfg.zip_model_config(),
+        cfg.zip_train_config())
+  else:
+    from snerf_tpu.train.trainer import create_train_state
+    model, _, state = create_train_state(
+        jax.random.PRNGKey(0), cfg.model_config(), cfg.train_config(),
+        scene.num_images)
+  state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
+  if restored is None:
+    raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+  print(f"rendering from checkpoint step {restored}")
+
+  H, W = scene.hw
+  mode = extra["render_mode"]
+  n_render = int(extra["render_n"])
+  if mode == "random":
+    # WAYMO_RENDER-style novel poses around the training trajectory.
+    pose_set = generate_random_render_poses(
+        scene.poses, scene.intrinsics[0], scene.intrinsics[-1],
+        np.array([H, W]), np.array([H, W]), scene.scale,
+        n_render=n_render, seed=int(extra["render_seed"]))
+    poses = pose_set.poses[:, :3, :]
+    Ks = pose_set.intrinsics
+    transform = getattr(scene, "pca_transform", np.eye(4))
+    raw = render2raw(pose_set.poses, transform, scene.scale, np.eye(4))
+    np.save(os.path.join(out_dir, "raw_target_poses.npy"), raw)
+    np.save(os.path.join(out_dir, "render_poses.npy"), pose_set.poses)
+    np.save(os.path.join(out_dir, "intrinsic.npy"), Ks)
+  elif mode == "path":
+    poses = camera_utils.generate_ellipse_path(scene.poses,
+                                               n_frames=n_render)
+    Ks = np.tile(scene.intrinsics[:1], (len(poses), 1, 1))
+    np.save(os.path.join(out_dir, "render_poses.npy"), poses)
+    np.save(os.path.join(out_dir, "intrinsic.npy"), Ks)
+  else:  # test split
+    idxs = np.asarray(scene.i_test)[:n_render]
+    poses = scene.poses[idxs]
+    Ks = scene.intrinsics[idxs]
+
+  params = state.params
+  if cfg.model == "zipnerf":
+    @jax.jit
+    def render_fn(rays):
+      rend, _ = model.apply({"params": params}, rays, rng=None)
+      out = {"rgb": rend[-1]["rgb"],
+             "distance": rend[-1]["depth"][..., None]}
+      if rend[-1].get("semantic") is not None:
+        out["semantic"] = rend[-1]["semantic"]
+      return out
+  else:
+    from snerf_tpu.train.renderer import make_eval_render_fn
+    render_fn = make_eval_render_fn(model, params,
+                                    white_bkgd=cfg.white_bkgd)
+
+  mesh = make_mesh() if len(jax.devices()) > 1 else None
+  for i in range(len(poses)):
+    rays = rays_for_image(
+        jnp.asarray(poses[i]), jnp.asarray(Ks[i]), H, W,
+        scene.near, scene.far, render_factor=cfg.render_factor)
+    out = render_image(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
+    imageio.imwrite(
+        os.path.join(out_dir, "rgb", f"{i:05d}.png"),
+        (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
+    # depth as uint16 png: metric depth / scale * 256
+    # (random_render_waymo_seq.py:196-204 contract)
+    d = out["distance"][..., 0] / max(scene.scale, 1e-12) * 256.0
+    imageio.imwrite(
+        os.path.join(out_dir, "depth", f"{i:05d}.png"),
+        np.clip(d, 0, 65535).astype(np.uint16))
+    if "semantic" in out:
+      np.save(os.path.join(out_dir, "semantic", f"{i:05d}.npy"),
+              np.argmax(out["semantic"], axis=-1).astype(np.int32))
+    print(f"rendered {i + 1}/{len(poses)}")
+  print(f"outputs under {out_dir}")
+
+
+if __name__ == "__main__":
+  main(sys.argv[1:])

@@ -23,7 +23,8 @@ class Config:
   expname: str = "exp"
   basedir: str = "./exp"
   datadir: str = "./data"
-  dataset_type: str = "nuscenes"    # nuscenes | llff | synthetic
+  dataset_type: str = "nuscenes"    # nuscenes | waymo | llff | synthetic
+  model: str = "mipnerf"            # mipnerf (S-NeRF) | zipnerf (S-NeRF++)
   config: Optional[str] = None      # config file path (filled by loader)
 
   # --- dataset ---
@@ -101,6 +102,22 @@ class Config:
   ckpt_keep: int = 3
   resume: bool = True
 
+  # --- zipnerf (S-NeRF++ background; zipnerf/internal/configs.py) ---
+  zip_batch_size: int = 32768
+  zip_max_steps: int = 50000
+  zip_lr_init: float = 0.01
+  zip_lr_final: float = 0.001
+  zip_lr_delay: int = 5000
+  zip_num_prop_samples: Any = (64, 64)
+  zip_num_nerf_samples: int = 32
+  zip_glo_features: int = 0
+  anti_interlevel_loss_mult: float = 0.01
+  distortion_loss_mult: float = 0.005
+  hash_decay_mult: float = 0.1
+  zip_depth_loss_mult: float = 0.0
+  zip_semantic_loss_mult: float = 0.04
+  llffhold: int = 8
+
   # --- eval ---
   chunk: int = 4096
   render_factor: int = 0
@@ -153,6 +170,29 @@ class Config:
         depth_conf=self.depth_conf, conf_num=self.conf_num,
         conf_tau=self.tau, conf_modes=self.conf_modes(),
         use_skymask_conf=self.skymask)
+
+  def zip_model_config(self):
+    from snerf_tpu.models.zipnerf import ZipNerfConfig
+    return ZipNerfConfig(
+        num_prop_samples=tuple(self.zip_num_prop_samples),
+        num_nerf_samples=self.zip_num_nerf_samples,
+        num_levels=len(tuple(self.zip_num_prop_samples)) + 1,
+        num_glo_features=self.zip_glo_features,
+        use_semantic=self.semantic, class_num=self.semantic_class_num)
+
+  def zip_train_config(self):
+    from snerf_tpu.train.zip_trainer import ZipTrainConfig
+    return ZipTrainConfig(
+        batch_size=self.zip_batch_size, max_steps=self.zip_max_steps,
+        lr_init=self.zip_lr_init, lr_final=self.zip_lr_final,
+        lr_delay_steps=self.zip_lr_delay,
+        anti_interlevel_loss_mult=self.anti_interlevel_loss_mult,
+        distortion_loss_mult=self.distortion_loss_mult,
+        hash_decay_mult=self.hash_decay_mult,
+        depth_loss_mult=self.zip_depth_loss_mult,
+        semantic_loss_mult=self.zip_semantic_loss_mult if self.semantic
+        else 0.0,
+        randomized=self.randomized)
 
   def conf_modes(self):
     """Confidence mode list (build_confidence_model confidence.py:171-181).
@@ -213,7 +253,7 @@ _IGNORED_FLAGS = {
     "perturb", "i_embed", "multires", "render_only", "render_test",
     "render_test_ray", "render_train", "render_mypath", "precrop_iters",
     "precrop_frac", "testskip", "shape", "half_res", "no_ndc", "spherify",
-    "llffhold", "i_img", "i_video", "debug", "alpha_model_path",
+    "i_img", "i_video", "debug", "alpha_model_path",
     "no_coarse", "train_scene", "test_scene", "colmap_depth",
     "weighted_loss", "relative_loss", "car_sample_n", "block_bg",
     "reg_loss", "reg_lambda", "weight_decay_mult", "distributed", "log",

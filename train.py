@@ -28,6 +28,11 @@ def load_scene(cfg):
         load_depth=cfg.depth_loss or cfg.near_far,
         load_semantic=cfg.semantic, no_align=cfg.no_align,
         colmap=cfg.colmap)
+  elif cfg.dataset_type == "waymo":
+    from snerf_tpu.data.waymo import load_waymo_scene
+    return load_waymo_scene(cfg.datadir, llffhold=cfg.llffhold,
+                            factor=cfg.factor,
+                            load_semantic=cfg.semantic)
   else:
     raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
 
@@ -53,6 +58,9 @@ def main(argv=None):
   if cfg.fulltrain:
     scene.i_train = np.arange(scene.num_images)
   dev_scene = scene_to_device(scene)
+
+  if cfg.model == "zipnerf":
+    return train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir)
 
   mcfg = cfg.model_config()
   tcfg = cfg.train_config()
@@ -106,6 +114,56 @@ def main(argv=None):
       if i % cfg.i_weights == 0 or i == cfg.N_iters:
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == cfg.N_iters))
+        print(f"saved checkpoint at step {i}")
+  return state
+
+
+def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
+  """zip-nerf (S-NeRF++ background) training path
+  (parity: s-nerfpp/zipnerf/train.py main loop)."""
+  import jax
+  from snerf_tpu.parallel import make_mesh
+  from snerf_tpu.train import checkpoints as ckpt_lib
+  from snerf_tpu.train.zip_trainer import (
+      create_zip_train_state, make_zip_train_step)
+
+  mcfg = cfg.zip_model_config()
+  tcfg = cfg.zip_train_config()
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+
+  start_step = 0
+  if cfg.resume:
+    state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+    if restored is not None:
+      start_step = int(restored)
+      print(f"resumed from step {start_step}")
+
+  mesh = make_mesh() if len(jax.devices()) > 1 else None
+  ctx = mesh or _nullcontext()
+  with ctx:
+    step_fn = make_zip_train_step(model, mcfg, tcfg, dev_scene,
+                                  scene.i_train, scene.near, scene.far,
+                                  mesh=mesh)
+    key = jax.random.PRNGKey(start_step + 1)
+    t0 = time.perf_counter()
+    rays_done = 0
+    for i in range(start_step + 1, tcfg.max_steps + 1):
+      key, k = jax.random.split(key)
+      state, metrics = step_fn(state, k)
+      rays_done += tcfg.batch_size
+      if i % cfg.i_print == 0:
+        m = {k_: float(v) for k_, v in metrics.items()}
+        dt = time.perf_counter() - t0
+        rps = rays_done / dt
+        print(f"[{i}] loss={m['loss']:.5f} psnr={m.get('psnr', 0):.2f} "
+              f"rays/sec={rps:.0f}")
+        with open(os.path.join(exp_dir, "train_log.jsonl"), "a") as f:
+          f.write(json.dumps({"step": i, "rays_per_sec": rps, **m}) + "\n")
+        t0 = time.perf_counter()
+        rays_done = 0
+      if i % cfg.i_weights == 0 or i == tcfg.max_steps:
+        ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
+                                 wait=(i == tcfg.max_steps))
         print(f"saved checkpoint at step {i}")
   return state
 
