@@ -39,8 +39,20 @@ def main():
   while n_rgb >= 512:
     try:
       tcfg = TrainConfig(n_rgb=n_rgb, depth_loss=True, proposal_loss=True)
-      model, pose_model, state = create_train_state(
-          jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+      # Initialize on the CPU backend: param init only needs shapes, and
+      # compiling the init graph on a remote TPU costs ~70s of tunnel RTT.
+      try:
+        cpu = jax.devices("cpu")[0]
+      except RuntimeError:
+        cpu = None
+      if cpu is not None and jax.devices()[0].platform != "cpu":
+        with jax.default_device(cpu):
+          model, pose_model, state = create_train_state(
+              jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+        state = jax.device_put(state, jax.devices()[0])
+      else:
+        model, pose_model, state = create_train_state(
+            jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
       step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
                              scene.near, scene.far, donate=True)
       key = jax.random.PRNGKey(1)
@@ -49,7 +61,7 @@ def main():
       state, metrics = step(state, k)
       jax.block_until_ready(metrics["loss"])
 
-      n_steps = 20
+      n_steps = 10
       t0 = time.perf_counter()
       for _ in range(n_steps):
         key, k = jax.random.split(key)

@@ -1,0 +1,135 @@
+"""Depth-preparation pipeline orchestrator with plug-in model contracts.
+
+Behavioral parity target: reference scripts/depth_model/scripts/
+YORO_1CAM_PIPELINE_REFINE.py:85-800 (the 9-part per-camera pipeline) and
+run.py/run_pipeline.py (per-scene, per-camera parallel driver).
+
+The reference hardwires three external neural nets (SepFlow optical flow,
+Sparse-Depth-Completion/NLSPN, mseg semantic segmentation). Here they are
+pluggable callables with the exact file contracts the training loaders
+consume (SURVEY.md §7 step 7):
+
+  flow_fn(img0 [H,W,3] u8, img1) -> flow [H, W, 2] float32 (px)
+  completion_fn(rgb [H,W,3] u8, sparse_depth_m [H,W] f32) -> depth_m f32
+  segmentation_fn(rgb [H,W,3] u8) -> labels [H, W] int32 (sky == 142)
+
+Outputs per frame: depths/%04d.png (uint16, meters x 256, sky 200 m),
+matching s-nerf/dataloader/load_nuscenes.py:176-200.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from snerf_tpu.preprocess import lidar
+
+
+@dataclasses.dataclass
+class FrameData:
+  """Everything the per-frame depth pipeline needs."""
+  rgb: np.ndarray                 # [H, W, 3] uint8
+  rgb_adjacent: np.ndarray        # neighbor frame (next for front cams)
+  lidar_points: np.ndarray        # [3, N] (x, y, depth) projected, current
+  lidar_points_adjacent: np.ndarray  # [3, N] same points in the neighbor
+
+
+def default_completion_fn(rgb, sparse_depth):
+  """Fallback densifier: nearest-valid dilation + bilateral-ish smoothing.
+
+  Stands in for ERFNet/NLSPN when no checkpoint is plugged in — keeps the
+  pipeline runnable end-to-end; quality improves when a real completion
+  net is provided (the reference also treats it as swappable,
+  YORO:711-729 NLSPN vs SDC).
+  """
+  import cv2
+  d = sparse_depth.astype(np.float32)
+  mask = (d > 0).astype(np.uint8)
+  if mask.sum() == 0:
+    return d
+  # iterative dilation fill
+  filled = d.copy()
+  kernel = np.ones((5, 5), np.uint8)
+  for _ in range(64):
+    if (filled > 0).all():
+      break
+    grown = cv2.dilate(filled, kernel)
+    newly = (filled == 0) & (grown > 0)
+    filled[newly] = grown[newly]
+  return cv2.medianBlur(filled, 5)
+
+
+def process_frame(frame: FrameData,
+                  flow_fn: Callable,
+                  completion_fn: Optional[Callable] = None,
+                  segmentation_fn: Optional[Callable] = None,
+                  running_mean: float = 0.0,
+                  base_thres: float = 0.1):
+  """One frame of the YORO pipeline (parts 3-9): flow -> LiDAR/flow
+  consistency -> sparse depth -> completion -> reprojection refine ->
+  sky override. Returns (depth_png_uint16, kept_points, new_thres)."""
+  H, W = frame.rgb.shape[:2]
+  im_flow = flow_fn(frame.rgb, frame.rgb_adjacent)
+
+  mask, new_thres = lidar.adaptive_flow_filter(
+      frame.lidar_points, frame.lidar_points_adjacent, im_flow,
+      running_mean, base_thres)
+  kept = frame.lidar_points[:, mask]
+  sparse = lidar.points_to_depth_image(kept, (H, W))
+
+  completion = completion_fn or default_completion_fn
+  dense_m = completion(frame.rgb, sparse.astype(np.float32) / 256.0)
+
+  # part 9: drop completed pixels with > 25% reprojection inconsistency
+  pts = lidar.depth_image_to_points((dense_m * 256).astype(np.uint16))
+  # reuse flow as the reprojection signal at the completed pixels
+  drop = lidar.reprojection_refine_mask(
+      frame.lidar_points, frame.lidar_points_adjacent, im_flow, (H, W))
+  dense_m = dense_m.copy()
+  dense_m[drop] = 0.0
+
+  if segmentation_fn is not None:
+    sem = segmentation_fn(frame.rgb)
+    dense_m = lidar.apply_sky_depth(dense_m, sem)
+
+  depth_png = np.clip(dense_m * 256.0, 0, 65535).astype(np.uint16)
+  return depth_png, int(mask.sum()), new_thres
+
+
+def run_camera_pipeline(frames: Sequence[FrameData], out_dir: str,
+                        flow_fn: Callable,
+                        completion_fn: Optional[Callable] = None,
+                        segmentation_fn: Optional[Callable] = None):
+  """Sequential per-camera loop with the running-mean threshold adaptation
+  (YORO:600-614). Writes depths/%04d.png."""
+  from PIL import Image
+  os.makedirs(out_dir, exist_ok=True)
+  running_mean = 0.0
+  base_thres = 0.1
+  for i, frame in enumerate(frames):
+    png, n_kept, base_thres = process_frame(
+        frame, flow_fn, completion_fn, segmentation_fn,
+        running_mean=running_mean, base_thres=base_thres)
+    running_mean = (running_mean * i + n_kept) / (i + 1)
+    Image.fromarray(png).save(os.path.join(out_dir, f"{i:04d}.png"))
+  return running_mean
+
+
+def run_scene_pipeline(camera_frames: dict, out_root: str,
+                       flow_fn: Callable,
+                       completion_fn: Optional[Callable] = None,
+                       segmentation_fn: Optional[Callable] = None,
+                       max_workers: int = 6):
+  """All cameras in parallel threads (run_pipeline.py:18-38 parity:
+  6 cameras x threads; filesystem layout depths/<cam>/%04d.png)."""
+  with ThreadPoolExecutor(max_workers=max_workers) as ex:
+    futs = {
+        cam: ex.submit(run_camera_pipeline, frames,
+                       os.path.join(out_root, cam), flow_fn,
+                       completion_fn, segmentation_fn)
+        for cam, frames in camera_frames.items()}
+    return {cam: f.result() for cam, f in futs.items()}

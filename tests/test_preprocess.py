@@ -1,0 +1,149 @@
+"""Preprocessing toolchain: pose math, LiDAR projection, flow filtering."""
+
+import numpy as np
+import pytest
+
+from snerf_tpu.preprocess import lidar
+from snerf_tpu.preprocess.nuscenes import (
+    build_poses_bounds, compose_c2w, recenter_on_middle)
+from snerf_tpu.preprocess.waymo import (
+    build_waymo_poses_bounds, pad_side_camera)
+from snerf_tpu.data.scene import parse_poses_bounds
+
+
+def _rot_z(a):
+  c, s = np.cos(a), np.sin(a)
+  return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def test_recenter_on_middle():
+  n = 5
+  c2ws = []
+  for i in range(n):
+    m = np.eye(4)
+    m[:3, :3] = _rot_z(0.1 * i)
+    m[:3, 3] = [i, 2 * i, 0]
+    c2ws.append(m)
+  out = recenter_on_middle(np.stack(c2ws))
+  mid = n // 2
+  # middle frame becomes identity
+  np.testing.assert_allclose(out[mid], np.eye(4), atol=1e-6)
+
+
+def test_poses_bounds_roundtrip_through_loader():
+  """preprocess writer -> loader parser consistency (the file contract)."""
+  n = 6
+  c2ws, Ks = [], []
+  for i in range(n):
+    m = np.eye(4)
+    m[:3, :3] = _rot_z(0.2 * i)
+    m[:3, 3] = [i * 0.5, 0, 1]
+    c2ws.append(m)
+    Ks.append(np.array([[800.0, 0, 320], [0, 800, 240], [0, 0, 1]]))
+  arr = build_poses_bounds(np.stack(c2ws), np.stack(Ks), (480, 640))
+  assert arr.shape == (6, 19)
+  poses, bds, raw_hw = parse_poses_bounds(arr)
+  assert poses.shape == (6, 3, 5)
+  np.testing.assert_allclose(raw_hw[0], [480, 640])
+  # loader K extraction: cx = col0, cy = col1, f = col2 of K column
+  np.testing.assert_allclose(poses[0, :, 4], [320.5, 240.5, 800.0])
+
+
+def test_waymo_poses_bounds_layout():
+  cams, frames = 5, 4
+  c2w = np.tile(np.eye(4)[None, None], (cams, frames, 1, 1))
+  for c in range(cams):
+    for f in range(frames):
+      c2w[c, f, :3, 3] = [c, f, 0]
+  K = np.tile(np.array([[500.0, 0, 960], [0, 500, 640], [0, 0, 1]])
+              [None, None], (cams, frames, 1, 1))
+  arr, _ = build_waymo_poses_bounds(c2w, K, img_num=3)
+  assert arr.shape == (15, 19)  # 5 cams x (frames-1) capped at img_num
+  poses, _, raw_hw = parse_poses_bounds(arr)
+  np.testing.assert_allclose(raw_hw[0], [1280, 1920])
+
+
+def test_pad_side_camera():
+  img = np.ones((886, 1920, 3), np.uint8) * 7
+  out = pad_side_camera(img)
+  assert out.shape == (1280, 1920, 3)
+  assert (out[:886] == 7).all() and (out[886:] == 0).all()
+
+
+def test_project_points_roundtrip():
+  K = np.array([[400.0, 0, 200], [0, 400, 150], [0, 0, 1]])
+  c2w = np.eye(4)
+  # points straight ahead (+z forward, OpenCV convention)
+  pts = np.array([[0, 0, 10.0], [1, 0.5, 20.0]])
+  proj = lidar.project_points_to_camera(pts, c2w, K, (300, 400))
+  assert proj.shape[1] == 2
+  np.testing.assert_allclose(proj[:, 0], [200, 150, 10], atol=1e-6)
+  np.testing.assert_allclose(proj[2], [10, 20])
+  # behind-camera and below-min-dist points are dropped
+  pts2 = np.array([[0, 0, -5.0], [0, 0, 0.5]])
+  proj2 = lidar.project_points_to_camera(pts2, c2w, K, (300, 400))
+  assert proj2.shape[1] == 0
+
+
+def test_flow_consistency_tiers():
+  H, W = 50, 60
+  flow = np.zeros((H, W, 2), np.float32)
+  # points whose lidar motion matches zero flow pass; mismatched fail
+  pts = np.array([[10.0, 20.0], [10.0, 20.0], [10.0, 10.0]])  # x, y, d
+  nxt_ok = pts.copy()
+  nxt_bad = pts.copy()
+  nxt_bad[0] += 30  # 30 px disagreement > 3 + 0.1*0
+  mask_ok = lidar.flow_consistency_mask(pts, nxt_ok, flow)
+  mask_bad = lidar.flow_consistency_mask(pts, nxt_bad, flow)
+  assert mask_ok.all()
+  assert not mask_bad.any()
+  # depth < 3.5 always kept
+  pts_close = np.array([[5.0], [5.0], [2.0]])
+  nxt_far = pts_close.copy()
+  nxt_far[0] += 100
+  assert lidar.flow_consistency_mask(pts_close, nxt_far, flow).all()
+
+
+def test_points_depth_image_roundtrip():
+  pts = np.array([[3.0, 7.0], [2.0, 4.0], [5.0, 12.5]])
+  im = lidar.points_to_depth_image(pts, (10, 10))
+  assert im.dtype == np.uint16
+  assert im[2, 3] == 5 * 256
+  assert im[4, 7] == int(12.5 * 256)
+  back = lidar.depth_image_to_points(im)
+  assert back[2].max() == pytest.approx(12.5, abs=1e-2)
+
+
+def test_sky_depth_override():
+  d = np.ones((4, 4), np.float32)
+  sem = np.zeros((4, 4), np.int32)
+  sem[1, 1] = lidar.SKY_CLASS
+  out = lidar.apply_sky_depth(d, sem)
+  assert out[1, 1] == 200.0 and out[0, 0] == 1.0
+
+
+def test_pipeline_end_to_end(tmp_path):
+  """Tiny synthetic camera pipeline run with identity flow."""
+  from snerf_tpu.preprocess.pipeline import FrameData, run_camera_pipeline
+  H, W = 40, 50
+  rng = np.random.RandomState(0)
+  frames = []
+  for _ in range(3):
+    n_pts = 60
+    pts = np.stack([rng.uniform(0, W - 1, n_pts),
+                    rng.uniform(0, H - 1, n_pts),
+                    rng.uniform(4, 30, n_pts)])
+    frames.append(FrameData(
+        rgb=rng.randint(0, 255, (H, W, 3), np.uint8),
+        rgb_adjacent=rng.randint(0, 255, (H, W, 3), np.uint8),
+        lidar_points=pts, lidar_points_adjacent=pts.copy()))
+  flow_fn = lambda a, b: np.zeros((H, W, 2), np.float32)
+  out = tmp_path / "depths"
+  run_camera_pipeline(frames, str(out), flow_fn)
+  import os
+  files = sorted(os.listdir(out))
+  assert files == ["0000.png", "0001.png", "0002.png"]
+  from PIL import Image
+  im = np.asarray(Image.open(out / "0000.png"))
+  assert im.dtype == np.uint16
+  assert (im > 0).any()
