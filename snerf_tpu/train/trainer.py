@@ -89,11 +89,27 @@ def make_lr_schedule(cfg: TrainConfig):
       lr_delay_mult=cfg.lrate_delay_mult)
 
 
-def create_train_state(key, model_cfg: MipNerfConfig, cfg: TrainConfig,
-                       num_images: int, init_poses=None):
-  """Init model (+pose) params and optimizers."""
-  from snerf_tpu.models.mipnerf import init_model
-  model, variables = init_model(key, model_cfg)
+def create_train_state(key, model_cfg, cfg: TrainConfig,
+                       num_images: int, init_poses=None, model=None):
+  """Init model (+pose/+confidence) params and optimizers.
+
+  model_cfg may be a MipNerfConfig (default flagship) or a
+  ClassicNerfConfig (pass the matching `model`, e.g. ClassicNerfAdapter)."""
+  if model is None:
+    from snerf_tpu.models.mipnerf import init_model
+    model, variables = init_model(key, model_cfg)
+  else:
+    import jax.numpy as _jnp
+    from snerf_tpu.ops.rays import Rays as _Rays
+    n = 4
+    d = _jnp.ones((n, 3), _jnp.float32)
+    rays = _Rays(origins=_jnp.zeros((n, 3)), directions=d,
+                 viewdirs=d / _jnp.linalg.norm(d, axis=-1, keepdims=True),
+                 radii=_jnp.full((n, 1), 1e-3),
+                 lossmult=_jnp.ones((n, 1)),
+                 near=_jnp.full((n, 1), 0.1), far=_jnp.full((n, 1), 10.0),
+                 app=_jnp.zeros((n, 1), _jnp.int32))
+    variables = model.init(key, rays, rng=None)
   params = variables["params"]
   tx = optax.adam(learning_rate=make_lr_schedule(cfg))
   state = TrainState(
@@ -190,7 +206,15 @@ def make_train_step(model: MipNerfModel,
     metrics = {"loss_rgb": img_loss,
                "psnr": smath.mse_to_psnr(img_loss)}
 
-    if cfg.proposal_loss:
+    if coarse.get("rgb") is not None:
+      # classic-NeRF route: the coarse head also regresses rgb and gets a
+      # full-weight MSE term (render.py classic loss; mip coarse has
+      # rgb=None so this is a no-op for the flagship model).
+      coarse_rgb_loss = L.rgb_loss(coarse["rgb"][:nr], rgb_tgt)
+      total = total + coarse_rgb_loss
+      metrics["loss_rgb_coarse"] = coarse_rgb_loss
+
+    if cfg.proposal_loss and coarse.get("s_vals") is not None:
       pl = L.proposal_loss(fine["s_vals"], fine["weights"],
                            coarse["s_vals"], coarse["weights"],
                            weight=cfg.proposal_lambda)

@@ -33,6 +33,10 @@ def load_scene(cfg):
     return load_waymo_scene(cfg.datadir, llffhold=cfg.llffhold,
                             factor=cfg.factor,
                             load_semantic=cfg.semantic)
+  elif cfg.dataset_type == "llff":
+    from snerf_tpu.data.llff import load_llff_scene
+    return load_llff_scene(cfg.datadir, factor=max(cfg.factor, 1),
+                           llffhold=cfg.llffhold)
   else:
     raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
 
@@ -62,10 +66,22 @@ def main(argv=None):
   if cfg.model == "zipnerf":
     return train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir)
 
-  mcfg = cfg.model_config()
   tcfg = cfg.train_config()
-  model, pose_model, state = create_train_state(
-      jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+  if cfg.model == "classic":
+    from snerf_tpu.models.classic import (
+        ClassicNerfAdapter, ClassicNerfConfig)
+    mcfg = ClassicNerfConfig(
+        n_samples=cfg.N_samples, n_importance=cfg.N_importance,
+        multires_views=cfg.multires_views,
+        use_viewdirs=cfg.use_viewdirs, raw_noise_std=cfg.density_noise,
+        white_bkgd=cfg.white_bkgd, lindisp=cfg.lindisp)
+    model, pose_model, state = create_train_state(
+        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images,
+        model=ClassicNerfAdapter(config=mcfg))
+  else:
+    mcfg = cfg.model_config()
+    model, pose_model, state = create_train_state(
+        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
 
   start_step = 0
   if cfg.resume:
