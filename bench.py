@@ -56,19 +56,23 @@ def main():
       step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
                              scene.near, scene.far, donate=True)
       key = jax.random.PRNGKey(1)
-      # warmup / compile
+      # warmup / compile; float() forces a real device round-trip
+      # (block_until_ready can be a no-op on tunneled backends).
       key, k = jax.random.split(key)
       state, metrics = step(state, k)
-      jax.block_until_ready(metrics["loss"])
+      assert np.isfinite(float(metrics["loss"]))
 
-      n_steps = 10
+      # Timing: dispatch n_steps asynchronously — each step consumes the
+      # previous step's donated state, so fetching the FINAL loss forces
+      # the whole chain to execute; one host round-trip total.
+      n_steps = 15
       t0 = time.perf_counter()
       for _ in range(n_steps):
         key, k = jax.random.split(key)
         state, metrics = step(state, k)
-      jax.block_until_ready(metrics["loss"])
+      last = float(metrics["loss"])
       dt = time.perf_counter() - t0
-      assert np.isfinite(float(metrics["loss"]))
+      assert np.isfinite(last)
       rays_per_sec = n_rgb * n_steps / dt
       print(json.dumps({
           "metric": "train_rays_per_sec",

@@ -1,0 +1,127 @@
+"""Simulation orchestrator: the in-process replacement for config_run.py.
+
+Behavioral parity target: reference s-nerfpp/config_run.py:20-148 — the
+7-stage shell chain (background render -> placement -> foreground render
+-> composition -> inpainting -> shadows -> annotation) with wkdir_<gpu>
+filesystem IPC. Here each stage is a function call passing arrays
+(SURVEY.md §3.4 note: "the TPU rebuild should replace this with an
+in-process pipeline around a batch render API").
+
+The inpainting model is a pluggable callable (the reference downloads a
+pretrained LaMa `inpaint` package, stage2_code/inpainting_fig.py:14-96):
+  inpaint_fn(rgb [H,W,3] float, mask [H,W] bool) -> rgb
+The default fallback is OpenCV Telea inpainting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from snerf_tpu.sim import annotate, compose, placement, shadows
+from snerf_tpu.sim.mesh import AssetBank, place_mesh
+
+
+@dataclasses.dataclass
+class SimConfig:
+  """configs/car.yaml analog."""
+  n_images: int = 70
+  n_instances_per_image: int = 2
+  categories: Sequence[str] = ("vehicle",)
+  drivable_idx: int = 0
+  undrivable_idx: Sequence[int] = (1,)
+  obstacle_idx: Sequence[int] = (2,)
+  paste_semantic_id: int = 13     # cityscapes 'car'
+  reject_r: float = 3.0
+  sun_pitch_deg: float = 30.0
+  sun_yaw_deg: float = 45.0
+  enable_shadows: bool = True
+  enable_inpaint: bool = True
+  seed: int = 0
+
+
+def default_inpaint_fn(rgb, mask):
+  """OpenCV Telea fallback for the LaMa boundary inpaint."""
+  import cv2
+  img8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+  out = cv2.inpaint(img8, mask.astype(np.uint8) * 255, 3,
+                    cv2.INPAINT_TELEA)
+  return out.astype(np.float32) / 255.0
+
+
+def run_simulation(background_views: List[dict],
+                   asset_bank: AssetBank,
+                   cfg: SimConfig,
+                   out_root: str,
+                   scene_name: str = "scene",
+                   inpaint_fn: Optional[Callable] = None):
+  """Full pipeline over pre-rendered background views.
+
+  background_views: list of dicts with rgb [H,W,3] float, depth [H,W]
+  metric, semantic [H,W] int, c2w [4,4] (raw/OpenCV +z-forward pose),
+  K [3,3]. Produced by render.py --render_mode random (the batch render
+  API). Returns the annotation run directory.
+  """
+  rng = np.random.RandomState(cfg.seed)
+  inpaint = inpaint_fn or (default_inpaint_fn if cfg.enable_inpaint
+                           else None)
+
+  # --- stage 0: placement map from all views -----------------------------
+  depths = np.stack([v["depth"] for v in background_views])
+  sems = np.stack([v["semantic"] for v in background_views])
+  Ks = np.stack([v["K"] for v in background_views])
+  c2ws = np.stack([v["c2w"] for v in background_views])
+  pts, labs = placement.unproject_depth_semantic(
+      depths, sems, Ks, c2ws, rng=rng)
+  bev = placement.build_bev(pts, labs, cfg.drivable_idx,
+                            cfg.undrivable_idx, cfg.obstacle_idx)
+  positions = placement.generate_positions(
+      bev, c2ws, Ks, n_per_pose=cfg.n_instances_per_image,
+      reject_r=cfg.reject_r, seed=cfg.seed)
+
+  # --- per view: foreground render + composition + shadows + inpaint -----
+  frames = []
+  for v, view in enumerate(background_views):
+    w2c = np.linalg.inv(view["c2w"])
+    hw = view["depth"].shape
+    instances = []
+    for pos in positions[v]:
+      category = cfg.categories[rng.randint(len(cfg.categories))]
+      try:
+        verts, faces, colors, _ = asset_bank.sample(category, rng)
+      except FileNotFoundError:
+        continue
+      instances.append(compose.Instance(
+          verts=verts, faces=faces, colors=colors,
+          position=np.asarray(pos, np.float32),
+          yaw_deg=float(rng.uniform(0, 360)), category=category))
+
+    fused = compose.compose_view(
+        view["rgb"], view["depth"], view["semantic"], instances,
+        w2c[:3, :4], view["K"], semantic_id=cfg.paste_semantic_id)
+
+    rgb = fused["rgb"]
+    if inpaint is not None and fused["inpaint_band"].any():
+      rgb = inpaint(rgb, fused["inpaint_band"])
+
+    if cfg.enable_shadows and instances:
+      all_masks = np.any(np.stack(fused["masks"]), 0) \
+          if fused["masks"] else None
+      for inst in instances:
+        smask = shadows.render_shadow(
+            inst.world_verts(), w2c[:3, :4], view["K"], hw,
+            pitch_deg=cfg.sun_pitch_deg, yaw_deg=cfg.sun_yaw_deg)
+        rgb = shadows.apply_shadow(rgb, smask, object_masks=all_masks)
+
+    frames.append(dict(rgb=rgb, depth=fused["depth"],
+                       semantic=fused["semantic"],
+                       bboxes=fused["bboxes"]))
+
+  return annotate.write_annotation(
+      out_root, scene_name, frames,
+      render_poses=c2ws, intrinsics=Ks,
+      bev_results={"x_scale": bev["x_scale"], "y_scale": bev["y_scale"],
+                   "x_ori_bias": bev["x_ori_bias"],
+                   "y_ori_bias": bev["y_ori_bias"]})

@@ -146,7 +146,8 @@ def make_train_step(model: MipNerfModel,
                     far: float,
                     donate: bool = True,
                     mesh=None,
-                    conf_maps=None):
+                    conf_maps=None,
+                    jit: bool = True):
   """Build the jitted train_step(state, key) -> (state, metrics).
 
   With `mesh`, the ray batch is shard-constrained over the mesh's data axis
@@ -308,5 +309,31 @@ def make_train_step(model: MipNerfModel,
           conf_opt_state=new_conf_opt)
     return state, metrics
 
+  if not jit:
+    return train_step
   donate_argnums = (0,) if donate else ()
   return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_train_loop(train_step_fn, unroll_steps: int, donate: bool = True):
+  """Wrap a train_step into a lax.scan over `unroll_steps` steps.
+
+  TPU-native multi-step training: state stays on device for the whole
+  scan, one host dispatch per `unroll_steps` (amortizes dispatch/tunnel
+  latency; on pods it also lets XLA overlap collective and compute
+  across step boundaries). Returns jitted fn(state, key) ->
+  (state, metrics_mean).
+  """
+
+  def loop(state, key):
+    keys = jax.random.split(key, unroll_steps)
+
+    def body(st, k):
+      st, metrics = train_step_fn(st, k)
+      return st, metrics
+
+    state, metrics = jax.lax.scan(body, state, keys)
+    return state, jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+
+  donate_argnums = (0,) if donate else ()
+  return jax.jit(loop, donate_argnums=donate_argnums)
