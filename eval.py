@@ -14,6 +14,64 @@ import os
 import sys
 
 
+def refine_test_poses(model, params, scene, idxs, n_iters: int = 100,
+                      n_rays: int = 1024, lr: float = 1e-3,
+                      white_bkgd: bool = False):
+  """Photometric test-time pose refinement (reference eval.py:82-114):
+  freeze the NeRF, learn one SE(3) delta per test image."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  import optax
+
+  from snerf_tpu.data.raygen import pixels_to_rays
+  from snerf_tpu.models.posenet import LearnPose
+
+  n = len(idxs)
+  H, W = scene.hw
+  init_poses = jnp.asarray(scene.poses[idxs], jnp.float32)
+  images = jnp.asarray(scene.images[idxs])
+  Ks = jnp.asarray(scene.intrinsics[idxs], jnp.float32)
+
+  pose_model = LearnPose(num_cams=n)
+  pose_vars = pose_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1,), jnp.int32),
+                              jnp.zeros((1, 3, 4)))
+  pose_params = pose_vars["params"]
+  tx = optax.adam(lr)
+  opt = tx.init(pose_params)
+
+  @jax.jit
+  def step(pose_params, opt, key):
+    k_img, k_pix = jax.random.split(key)
+    img_i = jax.random.randint(k_img, (), 0, n)
+    pix = jax.random.randint(k_pix, (n_rays,), 0, H * W)
+    py, px = pix // W, pix % W
+
+    def loss_fn(pp):
+      table = pose_model.apply({"params": pp}, jnp.arange(n), init_poses)
+      rays = pixels_to_rays(px.astype(jnp.float32),
+                            py.astype(jnp.float32),
+                            table[img_i], Ks[img_i],
+                            scene.near, scene.far)
+      ret = model.apply({"params": params}, rays, rng=None,
+                        white_bkgd=white_bkgd)
+      tgt = images[img_i, py, px].astype(jnp.float32) / 255.0
+      return jnp.mean((ret[-1]["rgb"] - tgt) ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(pose_params)
+    updates, opt = tx.update(g, opt, pose_params)
+    return optax.apply_updates(pose_params, updates), opt, loss
+
+  key = jax.random.PRNGKey(1)
+  for _ in range(n_iters):
+    key, k = jax.random.split(key)
+    pose_params, opt, loss = step(pose_params, opt, k)
+  table = pose_model.apply({"params": pose_params}, jnp.arange(n),
+                           init_poses)
+  return np.asarray(table)
+
+
 def main(argv=None):
   import jax
   import jax.numpy as jnp
@@ -54,6 +112,18 @@ def main(argv=None):
   os.makedirs(out_dir, exist_ok=True)
 
   idxs = scene.i_test if cfg.eval_test else scene.i_train
+
+  # Test-time pose refinement: freeze the NeRF, fit per-test-image SE(3)
+  # deltas on photometric loss (reference eval.py:82-114).
+  refined_poses = None
+  if cfg.test_refine_iter > 0 and cfg.model != "zipnerf":
+    refined_poses = refine_test_poses(
+        model, state.params, scene, np.asarray(idxs),
+        n_iters=cfg.test_refine_iter, n_rays=min(cfg.N_rgb, 1024),
+        white_bkgd=cfg.white_bkgd)
+    print(f"refined {len(idxs)} test poses "
+          f"({cfg.test_refine_iter} iters)")
+
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   if cfg.model == "zipnerf":
     params = state.params
@@ -73,9 +143,11 @@ def main(argv=None):
   harness = MetricHarness()
   H, W = scene.hw
   results = []
-  for ti in np.asarray(idxs):
+  for pos, ti in enumerate(np.asarray(idxs)):
+    pose = (refined_poses[pos] if refined_poses is not None
+            else scene.poses[ti])
     rays = rays_for_image(
-        jnp.asarray(scene.poses[ti]), jnp.asarray(scene.intrinsics[ti]),
+        jnp.asarray(pose), jnp.asarray(scene.intrinsics[ti]),
         H, W, scene.near, scene.far,
         render_factor=cfg.render_factor)
     out = render_image(render_fn, rays, chunk=cfg.chunk, mesh=mesh)

@@ -1,0 +1,48 @@
+"""Vis colormaps, profiling hooks, multi-host shard math."""
+
+import numpy as np
+
+from snerf_tpu.parallel.multihost import local_batch_slice, process_shard
+from snerf_tpu.utils import vis
+from snerf_tpu.utils.profiling import RaysPerSec, Timing
+
+
+def test_visualize_depth_shapes_and_range():
+  d = np.linspace(1, 50, 100).reshape(10, 10)
+  rgb = vis.visualize_depth(d)
+  assert rgb.shape == (10, 10, 3) and rgb.dtype == np.uint8
+  # near != far colors
+  assert not (rgb[0, 0] == rgb[-1, -1]).all()
+
+
+def test_semantic_palette():
+  lab = np.array([[0, 10], [13, 18]])
+  rgb = vis.semantic_to_rgb(lab)
+  assert rgb.shape == (2, 2, 3)
+  np.testing.assert_array_equal(rgb[0, 0], [128, 64, 128])
+  np.testing.assert_array_equal(rgb[1, 0], [0, 0, 142])
+
+
+def test_overlay_and_bbox():
+  img = np.zeros((20, 30, 3), np.uint8)
+  out = vis.overlay_points(img, np.array([5.0]), np.array([7.0]),
+                           values=np.array([1.0]))
+  assert out[7, 5].sum() > 0
+  boxed = vis.draw_bbox_2d(img, [dict(xmin=2, ymin=2, xmax=10, ymax=10,
+                                      category="Car")])
+  assert boxed[2, 5].sum() > 0
+
+
+def test_timing_and_rays_meter():
+  with Timing("x", verbose=False) as t:
+    pass
+  assert t.elapsed >= 0
+  m = RaysPerSec()
+  m.update(100)
+  assert m.rate() > 0
+
+
+def test_process_shard_single_host():
+  sh = process_shard(10)
+  np.testing.assert_array_equal(sh, np.arange(10))
+  assert local_batch_slice(4096) == 4096
