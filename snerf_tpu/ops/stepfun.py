@@ -27,18 +27,21 @@ def query(tq, t, y, outside_value=0):
   """Look up the step function (t, y) at locations tq."""
   idx_lo, idx_hi = searchsorted(t, tq)
   yq = jnp.where(idx_lo == idx_hi, outside_value,
-                 jnp.take_along_axis(y, jnp.minimum(idx_lo, y.shape[-1] - 1),
-                                     axis=-1))
+                 smath._gather_last(y, jnp.minimum(idx_lo,
+                                                   y.shape[-1] - 1)))
   return yq
 
 
 def inner_outer(t0, t1, y1):
-  """Inner and outer measures of step function (t1, y1) on intervals t0."""
+  """Inner and outer measures of step function (t1, y1) on intervals t0.
+
+  TPU note: gathers replaced by smath._gather_last (dense one-hot einsum
+  at NeRF bin counts)."""
   cy1 = jnp.concatenate(
       [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
   idx_lo, idx_hi = searchsorted(t1, t0)
-  cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-  cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+  cy1_lo = smath._gather_last(cy1, idx_lo)
+  cy1_hi = smath._gather_last(cy1, idx_hi)
   y0_outer = cy1_hi[..., 1:] - cy1_lo[..., :-1]
   y0_inner = jnp.where(idx_hi[..., :-1] <= idx_lo[..., 1:],
                        cy1_lo[..., 1:] - cy1_hi[..., :-1], 0)
