@@ -91,6 +91,21 @@ def mesh_extents(verts):
   return float(ext[2]), float(ext[1]), float(ext[0])  # h, w, l
 
 
+def foreground_preprocess(rgba, gamma: float = 1.0):
+  """4-channel render -> (rgb [H,W,3] float, mask [H,W] bool) with an
+  optional gamma appearance tweak (parity:
+  stage1_code/foreground_preprocess.py:1-37)."""
+  rgba = np.asarray(rgba, np.float32)
+  if rgba.max() > 1.5:
+    rgba = rgba / 255.0
+  rgb = rgba[..., :3]
+  mask = rgba[..., 3] > 0.5
+  if gamma != 1.0:
+    rgb = np.clip(rgb, 0, 1) ** gamma
+  rgb = rgb * mask[..., None]
+  return rgb, mask
+
+
 class AssetBank:
   """Textured-mesh asset directory (mesh_api.py:8-72 parity): one
   subdirectory per category holding .obj assets."""

@@ -55,12 +55,20 @@ class ZipTrainConfig:
   semantic_loss_mult: float = 0.04   # NLL x 0.04 (train.py:299-303)
   single_image: bool = False         # zipnerf samples across all images
   randomized: bool = True
+  # posenet warmup window (zipnerf train.py:177-214: refine poses with a
+  # dedicated optimizer only for start_step < s < end_step)
+  pose_refine: bool = False
+  pose_start_step: int = 1000
+  pose_end_step: int = 10_000
+  pose_lr: float = 1e-4
 
 
 class ZipTrainState(flax.struct.PyTreeNode):
   step: jnp.ndarray
   params: Any
   opt_state: Any
+  pose_params: Any = None
+  pose_opt_state: Any = None
 
 
 def make_zip_lr_schedule(cfg: ZipTrainConfig):
@@ -78,13 +86,24 @@ def _make_tx(cfg: ZipTrainConfig):
 
 
 def create_zip_train_state(key, model_cfg: ZipNerfConfig,
-                           cfg: ZipTrainConfig):
+                           cfg: ZipTrainConfig,
+                           num_images: int = 0):
   from snerf_tpu.models.zipnerf import init_zipnerf
   model, variables = init_zipnerf(key, model_cfg)
   params = variables["params"]
   tx = _make_tx(cfg)
-  return model, ZipTrainState(step=jnp.zeros((), jnp.int32), params=params,
-                              opt_state=tx.init(params))
+  state = ZipTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                        opt_state=tx.init(params))
+  if cfg.pose_refine and num_images > 0:
+    from snerf_tpu.models.posenet import LearnPose
+    pose_model = LearnPose(num_cams=num_images)
+    pose_vars = pose_model.init(jax.random.fold_in(key, 7),
+                                jnp.zeros((1,), jnp.int32),
+                                jnp.zeros((1, 3, 4)))
+    pose_tx = optax.sgd(cfg.pose_lr)  # zipnerf uses SGD for the posenet
+    state = state.replace(pose_params=pose_vars["params"],
+                          pose_opt_state=pose_tx.init(pose_vars["params"]))
+  return model, state
 
 
 def _grid_specs(model_cfg: ZipNerfConfig):
@@ -115,12 +134,24 @@ def make_zip_train_step(model: ZipNerfModel,
   tx = _make_tx(cfg)
   i_train = jnp.asarray(i_train, jnp.int32)
   specs = _grid_specs(model_cfg)
+  pose_model = None
+  pose_tx = None
+  if cfg.pose_refine:
+    from snerf_tpu.models.posenet import LearnPose
+    pose_model = LearnPose(num_cams=device_scene["poses"].shape[0])
+    pose_tx = optax.sgd(cfg.pose_lr)
+  init_poses = device_scene["poses"]
 
-  def loss_fn(params, key, train_frac):
+  def loss_fn(params, pose_params, key, train_frac):
     k_sample, k_model = jax.random.split(key)
+    pose_table = init_poses
+    if pose_model is not None:
+      pose_table = pose_model.apply(
+          {"params": pose_params},
+          jnp.arange(init_poses.shape[0]), init_poses)
     rays, targets = sampler.sample_batch(
         k_sample, device_scene, i_train, cfg.batch_size, near, far,
-        single_image=cfg.single_image)
+        single_image=cfg.single_image, use_pose_table=pose_table)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       sh = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -195,16 +226,34 @@ def make_zip_train_step(model: ZipNerfModel,
 
   def train_step(state: ZipTrainState, key):
     train_frac = jnp.clip(state.step / cfg.max_steps, 0.0, 1.0)
-    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, key, train_frac)
+    if pose_model is not None:
+      (_, metrics), (grads, pose_grads) = jax.value_and_grad(
+          loss_fn, argnums=(0, 1), has_aux=True)(
+              state.params, state.pose_params, key, train_frac)
+    else:
+      (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+          state.params, state.pose_params, key, train_frac)
+      pose_grads = None
     grads = smath.clip_gradients(
         grads,
         max_val=cfg.grad_max_val if cfg.grad_max_val > 0 else None,
         max_norm=cfg.grad_max_norm if cfg.grad_max_norm > 0 else None)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    return state.replace(step=state.step + 1, params=new_params,
-                         opt_state=new_opt), metrics
+    state = state.replace(step=state.step + 1, params=new_params,
+                          opt_state=new_opt)
+    if pose_model is not None:
+      # gate pose updates to the warmup window (train.py:177-214)
+      in_window = ((state.step > cfg.pose_start_step) &
+                   (state.step < cfg.pose_end_step)).astype(jnp.float32)
+      pose_grads = jax.tree_util.tree_map(
+          lambda g: jnp.nan_to_num(g) * in_window, pose_grads)
+      p_updates, new_pose_opt = pose_tx.update(
+          pose_grads, state.pose_opt_state, state.pose_params)
+      state = state.replace(
+          pose_params=optax.apply_updates(state.pose_params, p_updates),
+          pose_opt_state=new_pose_opt)
+    return state, metrics
 
   donate_argnums = (0,) if donate else ()
   return jax.jit(train_step, donate_argnums=donate_argnums)

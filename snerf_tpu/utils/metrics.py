@@ -107,6 +107,27 @@ class MetricHarness:
     }
 
 
+def kitti_depth_metrics(pred, gt, min_depth: float = 1e-3,
+                        max_depth: float = 80.0):
+  """KITTI depth-completion metrics (replaces the reference's prebuilt
+  evaluate_depth C++ binary, SURVEY §2.6.7): mae/rmse in mm, imae/irmse
+  in 1/km, over valid gt pixels."""
+  pred = np.asarray(pred, np.float64)
+  gt = np.asarray(gt, np.float64)
+  valid = (gt > min_depth) & (gt < max_depth)
+  p = np.clip(pred[valid], min_depth, max_depth)
+  g = gt[valid]
+  err = p - g
+  ierr = 1.0 / p - 1.0 / g
+  return {
+      "mae": float(np.mean(np.abs(err)) * 1000.0),
+      "rmse": float(np.sqrt(np.mean(err ** 2)) * 1000.0),
+      "imae": float(np.mean(np.abs(ierr)) * 1000.0),
+      "irmse": float(np.sqrt(np.mean(ierr ** 2)) * 1000.0),
+      "n_valid": int(valid.sum()),
+  }
+
+
 class MiouEvaluator:
   """Streaming confusion-matrix mIoU over semantic label maps.
 

@@ -46,3 +46,23 @@ def test_process_shard_single_host():
   sh = process_shard(10)
   np.testing.assert_array_equal(sh, np.arange(10))
   assert local_batch_slice(4096) == 4096
+
+
+def test_kitti_depth_metrics():
+  from snerf_tpu.utils.metrics import kitti_depth_metrics
+  gt = np.array([[10.0, 20.0, 0.0]])  # last invalid
+  pred = np.array([[11.0, 18.0, 5.0]])
+  m = kitti_depth_metrics(pred, gt)
+  assert m["n_valid"] == 2
+  assert m["mae"] == 1500.0  # mean(|1|, |2|) m -> mm
+  assert m["rmse"] > m["mae"] - 1e-6
+
+
+def test_foreground_preprocess():
+  from snerf_tpu.sim.mesh import foreground_preprocess
+  rgba = np.zeros((4, 4, 4), np.float32)
+  rgba[1:3, 1:3] = [0.5, 0.25, 1.0, 1.0]
+  rgb, mask = foreground_preprocess(rgba)
+  assert mask.sum() == 4
+  np.testing.assert_allclose(rgb[1, 1], [0.5, 0.25, 1.0])
+  np.testing.assert_allclose(rgb[0, 0], 0.0)

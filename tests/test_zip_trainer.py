@@ -55,3 +55,23 @@ def test_zip_train_semantic_path():
   state, m = step(state, jax.random.PRNGKey(1))
   assert "loss_semantic" in m
   assert np.isfinite(float(m["loss"]))
+
+
+def test_zip_pose_refine_window():
+  scene = make_synthetic_scene(num_images=6, H=16, W=16, datahold=6)
+  dev = scene_to_device(scene)
+  mcfg = ZipNerfConfig(**TINY_MODEL)
+  tcfg = ZipTrainConfig(batch_size=64, max_steps=100, lr_delay_steps=0,
+                        pose_refine=True, pose_start_step=0,
+                        pose_end_step=50, pose_lr=1e-3)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg,
+                                        num_images=scene.num_images)
+  assert state.pose_params is not None
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=False)
+  s1, m = step(state, jax.random.PRNGKey(1))   # step 0->1, in window
+  s2, m = step(s1, jax.random.PRNGKey(2))
+  delta = np.abs(np.asarray(s2.pose_params["r"]) -
+                 np.asarray(state.pose_params["r"])).sum()
+  assert delta > 0  # pose updated inside the window
+  assert np.isfinite(float(m["loss"]))
