@@ -77,3 +77,34 @@ def rays_for_image(c2w, intrinsic, H: int, W: int, near, far, app=None,
     xs = jnp.arange(W, dtype=jnp.float32)
   py, px = jnp.meshgrid(ys, xs, indexing="ij")
   return pixels_to_rays(px, py, c2w, intrinsic, near, far, app=app)
+
+
+def rays_for_panorama(c2w, H: int, W: int, near, far, app=None):
+  """Equirectangular panorama rays (reference sample_utils.py:229-284):
+  azimuth spans [-pi, pi) over width, elevation [-pi/2, pi/2] over height.
+  """
+  theta = (jnp.arange(W) + 0.5) / W * 2 * jnp.pi - jnp.pi   # azimuth
+  phi = (jnp.arange(H) + 0.5) / H * jnp.pi - jnp.pi / 2     # elevation
+  phi, theta = jnp.meshgrid(phi, theta, indexing="ij")
+  # camera convention [r, u, -t]: forward is -z
+  dirs_cam = jnp.stack([
+      jnp.cos(phi) * jnp.sin(theta),
+      jnp.sin(phi),
+      -jnp.cos(phi) * jnp.cos(theta)], axis=-1)
+  directions = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs_cam)
+  origins = jnp.broadcast_to(c2w[:3, 3], directions.shape)
+  viewdirs = directions
+  # pixel solid-angle-derived radius: one azimuth step
+  radii = jnp.full(directions.shape[:-1] + (1,),
+                   2 * jnp.pi / W * 2 / jnp.sqrt(12.0))
+  ones = jnp.ones(directions.shape[:-1] + (1,))
+  if app is None:
+    app = jnp.zeros(ones.shape, jnp.int32)
+  from snerf_tpu.ops.rays import Rays as _R
+  return _R(origins=origins, directions=directions, viewdirs=viewdirs,
+            radii=radii, lossmult=ones,
+            near=jnp.broadcast_to(jnp.asarray(near, jnp.float32),
+                                  ones.shape),
+            far=jnp.broadcast_to(jnp.asarray(far, jnp.float32),
+                                 ones.shape),
+            app=app)

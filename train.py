@@ -103,6 +103,8 @@ def main(argv=None):
         feature_fn=feature_fn)
     print(f"conf maps: {conf_maps.shape} {conf_maps.dtype}")
 
+  from snerf_tpu.utils.logging import ExperimentLogger
+  logger = ExperimentLogger(exp_dir)
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   ctx = mesh or _nullcontext()
   with ctx:
@@ -123,14 +125,21 @@ def main(argv=None):
         rps = rays_done / dt
         print(f"[{i}] loss={m['loss']:.5f} psnr={m.get('psnr', 0):.2f} "
               f"rays/sec={rps:.0f}")
-        with open(os.path.join(exp_dir, "train_log.jsonl"), "a") as f:
-          f.write(json.dumps({"step": i, "rays_per_sec": rps, **m}) + "\n")
+        logger.scalars(i, {"rays_per_sec": rps, **m})
+        # parity: confidence-lambda + pose-rotation histograms
+        # (reference train.py:225-241)
+        if state.conf_params is not None:
+          logger.histogram(i, "confidence_lambdas",
+                           state.conf_params["lambdas"])
+        if state.pose_params is not None:
+          logger.histogram(i, "pose_rotations", state.pose_params["r"])
         t0 = time.perf_counter()
         rays_done = 0
       if i % cfg.i_weights == 0 or i == cfg.N_iters:
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == cfg.N_iters))
         print(f"saved checkpoint at step {i}")
+  logger.close()
   return state
 
 
