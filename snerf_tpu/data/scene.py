@@ -205,7 +205,17 @@ def load_nuscenes_scene(datadir: str,
   i_test = np.arange(N)[::datahold]
   i_train = np.array([i for i in range(N) if i not in set(i_test.tolist())])
 
+  # spiral render path around the average pose
+  # (reference load_nuscenes.py:10-81 generate_render_path)
+  from snerf_tpu.data import camera_utils
+  try:
+    render_poses = camera_utils.generate_spiral_path(
+        poses[:, :3, :4], bds, n_frames=60)
+  except Exception:
+    render_poses = None
+
   return Scene(images=images.astype(np.uint8), poses=poses[:, :3, :4],
                intrinsics=K, near=near, far=far, depths=depths,
                skymask=skymask, semantics=semantics, cam_index=cam_index,
-               i_train=i_train, i_test=i_test, scale=sc)
+               i_train=i_train, i_test=i_test, scale=sc,
+               render_poses=render_poses)
