@@ -147,3 +147,28 @@ def test_pipeline_end_to_end(tmp_path):
   im = np.asarray(Image.open(out / "0000.png"))
   assert im.dtype == np.uint16
   assert (im > 0).any()
+
+
+def test_farneback_flow_recovers_translation():
+  from snerf_tpu.preprocess.flow import farneback_flow_fn
+  rng = np.random.RandomState(0)
+  H, W, s = 64, 80, 5
+  base = rng.randint(0, 255, (H, W), np.uint8)
+  import cv2
+  base = cv2.GaussianBlur(base, (0, 0), 2)
+  shifted = np.roll(base, s, axis=1)  # shift right by s px
+  flow = farneback_flow_fn(base, shifted)
+  assert flow.shape == (H, W, 2)
+  # interior flow-x approx +s
+  inner = flow[16:-16, 16:-16, 0]
+  assert abs(np.median(inner) - s) < 1.5, np.median(inner)
+
+
+def test_model_flow_fn_contract():
+  from snerf_tpu.preprocess.flow import make_model_flow_fn
+  import pytest as _pytest
+  good = make_model_flow_fn(lambda a, b: np.zeros((4, 5, 2)))
+  assert good(np.zeros((4, 5, 3)), np.zeros((4, 5, 3))).shape == (4, 5, 2)
+  bad = make_model_flow_fn(lambda a, b: np.zeros((4, 5)))
+  with _pytest.raises(ValueError):
+    bad(np.zeros((4, 5, 3)), np.zeros((4, 5, 3)))
