@@ -101,3 +101,54 @@ def test_render2raw_roundtrip_shape():
   raw = render2raw(rposes, transform, sf, start)
   assert raw.shape == (4, 4, 4)
   assert np.isfinite(raw).all()
+
+
+def test_blender_loader(tmp_path):
+  import imageio.v2 as imageio
+  import json, os
+  os.makedirs(tmp_path / "train")
+  frames = []
+  rng = np.random.RandomState(0)
+  for i in range(3):
+    rgba = rng.randint(0, 255, (16, 20, 4), np.uint8)
+    imageio.imwrite(tmp_path / "train" / f"r_{i}.png", rgba)
+    m = np.eye(4).tolist()
+    frames.append({"file_path": f"train/r_{i}",
+                   "transform_matrix": m})
+  with open(tmp_path / "transforms_train.json", "w") as f:
+    json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+  from snerf_tpu.data.blender import load_blender_scene
+  scene = load_blender_scene(str(tmp_path))
+  assert scene.images.shape == (3, 16, 20, 3)
+  focal = 0.5 * 20 / np.tan(0.35)
+  assert abs(scene.intrinsics[0, 0, 0] - focal) < 1e-3
+  assert scene.near == 2.0 and scene.far == 6.0
+
+
+def test_sga_aggregation_props():
+  import jax.numpy as jnp
+  from snerf_tpu.preprocess.aggregation import (
+      cost_volume, lga, nlf, sga)
+  rng = np.random.RandomState(1)
+  x = jnp.asarray(rng.rand(1, 2, 6, 8), jnp.float32)
+  # g1=0 => pure passthrough for every direction => max = x
+  g = np.zeros((1, 4, 2, 6, 8), np.float32)
+  g[:, :, 0] = 1.0
+  out = sga(x, jnp.asarray(g))
+  np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+  # lga with identity filter (center weight 1) reproduces x
+  filt = np.zeros((1, 9, 6, 8), np.float32)
+  filt[:, 4] = 1.0
+  np.testing.assert_allclose(np.asarray(lga(x, jnp.asarray(filt))),
+                             np.asarray(x), atol=1e-6)
+  # nlf with zero carry = passthrough
+  z = jnp.zeros((1, 1, 6, 8))
+  np.testing.assert_allclose(np.asarray(nlf(x, z, z, z, z)),
+                             np.asarray(x), atol=1e-6)
+  # cost volume: identical features give max correlation at d=0
+  f = jnp.asarray(rng.rand(1, 4, 6, 8), jnp.float32)
+  cv = cost_volume(f, f, 3)
+  assert cv.shape == (1, 3, 6, 8)
+  # self-correlation peaks at zero displacement on average
+  assert float(cv[:, 0, :, 4:].mean()) > float(cv[:, 1, :, 4:].mean())
+  assert float(cv[:, 0, :, 4:].mean()) > float(cv[:, 2, :, 4:].mean())
