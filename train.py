@@ -135,12 +135,44 @@ def main(argv=None):
           logger.histogram(i, "pose_rotations", state.pose_params["r"])
         t0 = time.perf_counter()
         rays_done = 0
+      if cfg.i_testset > 0 and i % cfg.i_testset == 0 and \
+          len(scene.i_test):
+        psnr = _eval_one_view(model, state.params, scene, cfg)
+        print(f"[{i}] test view PSNR = {psnr:.2f}")
+        logger.scalars(i, {"test_psnr": psnr})
       if i % cfg.i_weights == 0 or i == cfg.N_iters:
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == cfg.N_iters))
         print(f"saved checkpoint at step {i}")
   logger.close()
   return state
+
+
+def _eval_one_view(model, params, scene, cfg):
+  """Periodic in-training eval render (zipnerf train_render_every
+  behavior, train.py:458-476): one held-out view, PSNR."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.train.renderer import make_eval_render_fn, render_image
+
+  ti = int(scene.i_test[0])
+  H, W = scene.hw
+  rays = rays_for_image(
+      jnp.asarray(scene.poses[ti]), jnp.asarray(scene.intrinsics[ti]),
+      H, W, scene.near, scene.far,
+      render_factor=max(cfg.render_factor, 1) if H * W > 64 * 64 else 0)
+  render_fn = make_eval_render_fn(model, params,
+                                  white_bkgd=cfg.white_bkgd)
+  out = render_image(render_fn, rays, chunk=cfg.chunk)
+  gt = scene.images[ti].astype(np.float32) / 255.0
+  if out["rgb"].shape[:2] != gt.shape[:2]:
+    import cv2
+    gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
+  mse = float(np.mean((out["rgb"] - gt) ** 2))
+  return -10.0 * np.log10(max(mse, 1e-10))
 
 
 def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
