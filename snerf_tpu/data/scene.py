@@ -193,9 +193,20 @@ def load_nuscenes_scene(datadir: str,
 
   semantics = None
   if load_semantic:
+    # semantic_labels.npy stores a SUBSET of labeled images with their
+    # image index in channel 0 (reference load_nuscenes.py:169-174:
+    # labels = sem[..., 1:], index = sem[:, 0, 0, 0, 0]). Unlabeled
+    # images get -1 (losses mask them out).
     sem_path = os.path.join(datadir, "semantic_labels.npy")
     sem = np.load(sem_path)
-    semantics = sem[..., 1:].astype(np.int32)
+    sem_index = sem.reshape(sem.shape[0], -1)[:, 0].astype(np.int32)
+    sem_labels = sem[..., 1:] if sem.ndim >= 4 else sem[..., None, 1:]
+    sem_labels = np.squeeze(sem_labels, axis=-1) \
+        if sem_labels.shape[-1] == 1 else sem_labels[..., 0]
+    semantics = np.full((N, H, W), -1, np.int32)
+    for pos, img_i in enumerate(sem_index):
+      if 0 <= img_i < N:
+        semantics[img_i] = sem_labels[pos]
 
   if cam_num:
     cam_index = np.repeat(np.arange(cam_num), N // cam_num).astype(np.int32)

@@ -36,10 +36,14 @@ def rgb_loss(pred, target, mask=None):
 
 
 def semantic_loss(logits, labels, mask=None, weight: float = 1.0):
-  """Cross-entropy x lambda (loss_factory.py:13-24)."""
+  """Cross-entropy x lambda (loss_factory.py:13-24). Labels < 0 mark
+  unlabeled pixels (nuScenes stores labels for a subset of images,
+  dataloader.py:113-115) and are masked out."""
+  labeled = labels >= 0
+  mask = labeled if mask is None else (mask & labeled)
+  safe_labels = jnp.maximum(labels, 0).astype(jnp.int32)
   ll = jax.nn.log_softmax(logits, axis=-1)
-  nll = -jnp.take_along_axis(ll, labels[..., None].astype(jnp.int32),
-                             axis=-1)[..., 0]
+  nll = -jnp.take_along_axis(ll, safe_labels[..., None], axis=-1)[..., 0]
   return weight * masked_mean(nll, mask)
 
 

@@ -165,7 +165,14 @@ def make_zip_train_step(model: ZipNerfModel,
         train_frac=train_frac)
     final = renderings[-1]
 
+    # Waymo object/padding masks gate the data loss (zipnerf
+    # train.py:232-240 mask logic: masked pixels excluded).
+    data_mask = None
+    if "skymask" in targets:
+      data_mask = ~targets["skymask"]
     data = L.charbonnier_loss(final["rgb"], targets["rgb"],
+                              mask=(data_mask[..., None]
+                                    if data_mask is not None else None),
                               padding=cfg.charb_padding)
     total = cfg.data_loss_mult * data
     metrics = {"loss_data": data,
@@ -212,12 +219,14 @@ def make_zip_train_step(model: ZipNerfModel,
 
     if cfg.semantic_loss_mult > 0 and "semantic" in targets and \
         final.get("semantic") is not None:
-      # NLL on composited softmax probabilities (train.py:299-303)
+      # NLL on composited softmax probabilities (train.py:299-303);
+      # labels < 0 (unlabeled images) masked out
       probs = jnp.clip(final["semantic"], 1e-6, 1.0)
       lab = targets["semantic"].astype(jnp.int32)
-      nll = -jnp.log(jnp.take_along_axis(probs, lab[..., None],
-                                         axis=-1))[..., 0]
-      sl = cfg.semantic_loss_mult * jnp.mean(nll)
+      labeled = lab >= 0
+      nll = -jnp.log(jnp.take_along_axis(
+          probs, jnp.maximum(lab, 0)[..., None], axis=-1))[..., 0]
+      sl = cfg.semantic_loss_mult * L.masked_mean(nll, labeled)
       total = total + sl
       metrics["loss_semantic"] = sl
 
