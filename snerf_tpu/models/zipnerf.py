@@ -66,6 +66,13 @@ class ZipNerfConfig:
   grid_base_resolution: int = 16
   grid_num_levels: int = 10
   grid_log2_hashmap_size: int = 21
+  # encoder backend: 'hash' = instant-NGP parity (gather-bound on TPU,
+  # see PERF.md); 'ipe' = gather-free integrated-positional-encoding
+  # backbone (MXU-bound, the TPU-fast choice) behind the same API.
+  encoder_type: str = "hash"
+  ipe_max_deg: int = 12
+  ipe_density_depth: int = 4
+  ipe_density_width: int = 256
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -81,11 +88,17 @@ class ZipMLP(nn.Module):
 
   def setup(self):
     c = self.cfg
-    self.encoder = HashEncoding(
-        num_levels=c.grid_num_levels, level_dim=self.grid_level_dim,
-        base_resolution=c.grid_base_resolution,
-        desired_resolution=self.grid_resolution,
-        log2_hashmap_size=c.grid_log2_hashmap_size, name="grid")
+    if c.encoder_type == "hash":
+      self.encoder = HashEncoding(
+          num_levels=c.grid_num_levels, level_dim=self.grid_level_dim,
+          base_resolution=c.grid_base_resolution,
+          desired_resolution=self.grid_resolution,
+          log2_hashmap_size=c.grid_log2_hashmap_size, name="grid")
+    else:
+      self.encoder = None
+      self.ipe_layers = [
+          nn.Dense(c.ipe_density_width, name=f"ipe_{i}")
+          for i in range(c.ipe_density_depth)]
     out_width = 1 if self.disable_rgb else c.bottleneck_width
     self.density_hidden = nn.Dense(64, name="density_hidden")
     self.density_out = nn.Dense(out_width, name="density_out")
@@ -106,15 +119,29 @@ class ZipMLP(nn.Module):
     """
     c = self.cfg
     z, new_std = coord.contract_mean_std(means, stds)
-    # contract maps into [-2, 2]; normalize to [0, 1] for the grid.
-    x01 = (z / 2.0 + 1.0) / 2.0
-    feats = self.encoder(x01)  # [..., n, L, C]
-    g = jnp.asarray(self.encoder.grid_sizes)  # [L]
-    w = jax.lax.erf(1.0 / jnp.sqrt(
-        8.0 * (new_std[..., None] * g / 2.0) ** 2 + 1e-20))  # [..., n, L]
-    feats = (feats * w[..., None]).mean(axis=-3)  # mean over n
-    feats = feats.reshape(*feats.shape[:-2], -1)
-    h = nn.relu(self.density_hidden(feats))
+    if c.encoder_type == "hash":
+      # contract maps into [-2, 2]; normalize to [0, 1] for the grid.
+      x01 = (z / 2.0 + 1.0) / 2.0
+      feats = self.encoder(x01)  # [..., n, L, C]
+      g = jnp.asarray(self.encoder.grid_sizes)  # [L]
+      w = jax.lax.erf(1.0 / jnp.sqrt(
+          8.0 * (new_std[..., None] * g / 2.0) ** 2 + 1e-20))
+      feats = (feats * w[..., None]).mean(axis=-3)  # mean over n
+      feats = feats.reshape(*feats.shape[:-2], -1)
+      h = nn.relu(self.density_hidden(feats))
+    else:
+      # Gather-free TPU backbone: IPE of the contracted isotropic
+      # Gaussians (the expected-sin variance decay plays the role of the
+      # erf multisample downweighting), averaged over the n multisamples,
+      # then a small MXU-bound trunk.
+      enc = mip.integrated_pos_enc(
+          z, jnp.broadcast_to((new_std ** 2)[..., None], z.shape),
+          0, c.ipe_max_deg, diag=True)
+      enc = enc.mean(axis=-2)  # mean over n multisamples
+      h = enc
+      for layer in self.ipe_layers:
+        h = nn.relu(layer(h))
+      h = nn.relu(self.density_hidden(h))
     x = self.density_out(h)
     raw_density = x[..., 0]
     if rng is not None and c.density_noise > 0:

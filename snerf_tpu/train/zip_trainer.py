@@ -108,6 +108,8 @@ def create_zip_train_state(key, model_cfg: ZipNerfConfig,
 
 def _grid_specs(model_cfg: ZipNerfConfig):
   """(param path, GridSpec) for every hash table in the model."""
+  if getattr(model_cfg, "encoder_type", "hash") != "hash":
+    return []  # IPE backbone has no tables (no hash-decay loss)
   specs = []
   for i, res in enumerate(model_cfg.prop_grid_resolutions
                           [:model_cfg.num_levels - 1]):
@@ -199,7 +201,7 @@ def make_zip_train_step(model: ZipNerfModel,
       total = total + dist
       metrics["loss_distortion"] = dist
 
-    if cfg.hash_decay_mult > 0:
+    if cfg.hash_decay_mult > 0 and specs:
       hd = 0.0
       for name, spec in specs:
         hd = hd + hash_decay_loss(params[name]["grid"]["table"], spec,

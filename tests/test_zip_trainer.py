@@ -75,3 +75,27 @@ def test_zip_pose_refine_window():
                  np.asarray(state.pose_params["r"])).sum()
   assert delta > 0  # pose updated inside the window
   assert np.isfinite(float(m["loss"]))
+
+
+def test_zip_ipe_encoder_trains():
+  """Gather-free IPE backbone behind the same zip-nerf API."""
+  scene = make_synthetic_scene(num_images=10, H=20, W=24, datahold=10)
+  dev = scene_to_device(scene)
+  cfg_kwargs = dict(TINY_MODEL)
+  mcfg = ZipNerfConfig(encoder_type="ipe", ipe_max_deg=6,
+                       ipe_density_depth=2, ipe_density_width=32,
+                       **cfg_kwargs)
+  tcfg = ZipTrainConfig(batch_size=128, max_steps=200, lr_init=5e-3,
+                        lr_final=1e-3, lr_delay_steps=0)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=False)
+  key = jax.random.PRNGKey(1)
+  losses = []
+  for _ in range(40):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+    losses.append(float(m["loss_data"]))
+  assert np.isfinite(losses).all()
+  assert np.mean(losses[-8:]) < np.mean(losses[:8])
+  assert "loss_hash_decay" not in m  # no tables in the IPE backbone
