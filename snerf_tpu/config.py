@@ -111,6 +111,7 @@ class Config:
   zip_num_prop_samples: Any = (64, 64)
   zip_num_nerf_samples: int = 32
   zip_glo_features: int = 0
+  zip_encoder: str = "hash"       # hash (parity) | ipe (TPU-fast)
   anti_interlevel_loss_mult: float = 0.01
   distortion_loss_mult: float = 0.005
   hash_decay_mult: float = 0.1
@@ -178,6 +179,7 @@ class Config:
         num_nerf_samples=self.zip_num_nerf_samples,
         num_levels=len(tuple(self.zip_num_prop_samples)) + 1,
         num_glo_features=self.zip_glo_features,
+        encoder_type=self.zip_encoder,
         use_semantic=self.semantic, class_num=self.semantic_class_num)
 
   def zip_train_config(self):
