@@ -99,10 +99,9 @@ def main(argv=None):
     model, state = create_zip_train_state(jax.random.PRNGKey(0), zmcfg,
                                           ztcfg)
   else:
-    mcfg = cfg.model_config()
-    tcfg = cfg.train_config()
-    model, pose_model, state = create_train_state(
-        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+    from train import build_model_state
+    model, pose_model, state = build_model_state(
+        cfg, cfg.train_config(), scene.num_images)
   state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
   if restored is None:
     raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")

@@ -57,10 +57,9 @@ def main(argv=None):
         jax.random.PRNGKey(0), cfg.zip_model_config(),
         cfg.zip_train_config())
   else:
-    from snerf_tpu.train.trainer import create_train_state
-    model, _, state = create_train_state(
-        jax.random.PRNGKey(0), cfg.model_config(), cfg.train_config(),
-        scene.num_images)
+    from train import build_model_state
+    model, _, state = build_model_state(cfg, cfg.train_config(),
+                                        scene.num_images)
   state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
   if restored is None:
     raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")

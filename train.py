@@ -67,21 +67,8 @@ def main(argv=None):
     return train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir)
 
   tcfg = cfg.train_config()
-  if cfg.model == "classic":
-    from snerf_tpu.models.classic import (
-        ClassicNerfAdapter, ClassicNerfConfig)
-    mcfg = ClassicNerfConfig(
-        n_samples=cfg.N_samples, n_importance=cfg.N_importance,
-        multires_views=cfg.multires_views,
-        use_viewdirs=cfg.use_viewdirs, raw_noise_std=cfg.density_noise,
-        white_bkgd=cfg.white_bkgd, lindisp=cfg.lindisp)
-    model, pose_model, state = create_train_state(
-        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images,
-        model=ClassicNerfAdapter(config=mcfg))
-  else:
-    mcfg = cfg.model_config()
-    model, pose_model, state = create_train_state(
-        jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+  model, pose_model, state = build_model_state(cfg, tcfg,
+                                               scene.num_images)
 
   start_step = 0
   if cfg.resume:
@@ -173,6 +160,27 @@ def _eval_one_view(model, params, scene, cfg):
     gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
   mse = float(np.mean((out["rgb"] - gt) ** 2))
   return -10.0 * np.log10(max(mse, 1e-10))
+
+
+def build_model_state(cfg, tcfg, num_images, seed: int = 0):
+  """Model family dispatch shared by train/eval/render CLIs."""
+  import jax
+  from snerf_tpu.train.trainer import create_train_state
+
+  if cfg.model == "classic":
+    from snerf_tpu.models.classic import (
+        ClassicNerfAdapter, ClassicNerfConfig)
+    mcfg = ClassicNerfConfig(
+        n_samples=cfg.N_samples, n_importance=cfg.N_importance,
+        multires_views=cfg.multires_views,
+        use_viewdirs=cfg.use_viewdirs, raw_noise_std=cfg.density_noise,
+        white_bkgd=cfg.white_bkgd, lindisp=cfg.lindisp)
+    return create_train_state(
+        jax.random.PRNGKey(seed), mcfg, tcfg, num_images,
+        model=ClassicNerfAdapter(config=mcfg))
+  mcfg = cfg.model_config()
+  return create_train_state(jax.random.PRNGKey(seed), mcfg, tcfg,
+                            num_images)
 
 
 def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
