@@ -106,3 +106,36 @@ def test_jit_and_grad():
   # fine MLP gets gradient
   gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
   assert gnorm > 0
+
+
+def test_warp_path_training_converges():
+  """Gradients flow through the unbounded warp (track_gaussian jacfwd)."""
+  import optax
+  cfg = MipNerfConfig(no_warp_sample=False, warp_fn=2, t_transform="log",
+                      num_samples=12, num_fine=12, hidden_layer=32,
+                      proposal_hidden_layer=16, density_noise=0.0)
+  model, variables = init_model(jax.random.PRNGKey(0), cfg)
+  rays = make_rays(32)
+  target = jnp.tile(jnp.array([[0.8, 0.3, 0.1]]), (32, 1))
+  params = variables["params"]
+  tx = optax.adam(3e-3)
+  opt = tx.init(params)
+
+  @jax.jit
+  def step(params, opt, key):
+    def loss_fn(p):
+      ret = model.apply({"params": p}, rays, rng=key,
+                        viewc=jnp.zeros((3,)))
+      return jnp.mean((ret[1]["rgb"] - target) ** 2)
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    u, opt = tx.update(g, opt, params)
+    return optax.apply_updates(params, u), opt, loss
+
+  key = jax.random.PRNGKey(1)
+  losses = []
+  for _ in range(25):
+    key, k = jax.random.split(key)
+    params, opt, loss = step(params, opt, k)
+    losses.append(float(loss))
+  assert np.isfinite(losses).all()
+  assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
