@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Depth-preparation pipeline CLI (reference scripts/depth_model/scripts/
+run.py + run_pipeline.py).
+
+Consumes per-camera frame data prepared as npz bundles and produces
+depths/<cam>/%04d.png (uint16, meters x 256) via the plug-in pipeline
+(snerf_tpu.preprocess.pipeline). Flow defaults to classical Farneback;
+pass --flow none to use zero flow (keeps everything, no consistency
+filtering) or plug a learned model in library use.
+
+Input contract per camera dir: frames.npz with arrays
+  rgb [N, H, W, 3] u8, rgb_adjacent [N, H, W, 3] u8,
+  lidar_points (object array of [3, Mi]), lidar_points_adjacent (same).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--datadir", required=True,
+                 help="dir with <cam>/frames.npz per camera")
+  p.add_argument("--outdir", required=True)
+  p.add_argument("--flow", default="farneback",
+                 choices=["farneback", "none"])
+  p.add_argument("--workers", type=int, default=6)
+  args = p.parse_args()
+
+  from snerf_tpu.preprocess.flow import farneback_flow_fn
+  from snerf_tpu.preprocess.pipeline import FrameData, run_scene_pipeline
+
+  camera_frames = {}
+  for cam in sorted(os.listdir(args.datadir)):
+    npz_path = os.path.join(args.datadir, cam, "frames.npz")
+    if not os.path.exists(npz_path):
+      continue
+    data = np.load(npz_path, allow_pickle=True)
+    frames = []
+    for i in range(len(data["rgb"])):
+      frames.append(FrameData(
+          rgb=data["rgb"][i], rgb_adjacent=data["rgb_adjacent"][i],
+          lidar_points=data["lidar_points"][i],
+          lidar_points_adjacent=data["lidar_points_adjacent"][i]))
+    camera_frames[cam] = frames
+
+  if not camera_frames:
+    sys.exit(f"no <cam>/frames.npz bundles under {args.datadir}")
+
+  if args.flow == "farneback":
+    flow_fn = farneback_flow_fn
+  else:
+    flow_fn = lambda a, b: np.zeros(a.shape[:2] + (2,), np.float32)
+
+  stats = run_scene_pipeline(camera_frames, args.outdir, flow_fn,
+                             max_workers=args.workers)
+  for cam, mean_pts in stats.items():
+    print(f"{cam}: mean kept lidar points/frame = {mean_pts:.0f}")
+
+
+if __name__ == "__main__":
+  main()
