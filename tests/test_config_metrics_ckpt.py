@@ -105,3 +105,29 @@ def test_checkpoint_roundtrip(tmp_path):
   C.save_checkpoint(str(tmp_path / "ck"), state, step=12, wait=True)
   _, step = C.restore_checkpoint(str(tmp_path / "ck"), target)
   assert step == 12
+
+
+def test_render_cli_random_mode(tmp_path):
+  """render.py --render_mode random on the synthetic fixture."""
+  import jax
+  import train as T
+  import render as R
+  import os
+  base = str(tmp_path)
+  T.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--N_iters", "20", "--i_weights", "20", "--i_print", "20",
+          "--N_samples", "8", "--N_fine", "8", "--hidden_layer", "16",
+          "--proposal_hidden_layer", "16"])
+  R.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--N_samples", "8", "--N_fine", "8", "--hidden_layer", "16",
+          "--proposal_hidden_layer", "16",
+          "--render_mode", "random", "--render_n", "2",
+          "--render_seed", "1"])
+  out = os.path.join(base, "synthetic_tiny", "render")
+  assert sorted(os.listdir(os.path.join(out, "rgb"))) == \
+      ["00000.png", "00001.png"]
+  assert os.path.exists(os.path.join(out, "raw_target_poses.npy"))
+  assert os.path.exists(os.path.join(out, "intrinsic.npy"))
+  import numpy as np
+  poses = np.load(os.path.join(out, "render_poses.npy"))
+  assert poses.shape == (2, 4, 4)
