@@ -124,9 +124,10 @@ def main(argv=None):
         rays_done = 0
       if cfg.i_testset > 0 and i % cfg.i_testset == 0 and \
           len(scene.i_test):
-        psnr = _eval_one_view(model, state.params, scene, cfg)
+        psnr, img = _eval_one_view(model, state.params, scene, cfg)
         print(f"[{i}] test view PSNR = {psnr:.2f}")
         logger.scalars(i, {"test_psnr": psnr})
+        logger.image(i, "test_render", img)
       if i % cfg.i_weights == 0 or i == cfg.N_iters:
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == cfg.N_iters))
@@ -159,7 +160,7 @@ def _eval_one_view(model, params, scene, cfg):
     import cv2
     gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
   mse = float(np.mean((out["rgb"] - gt) ** 2))
-  return -10.0 * np.log10(max(mse, 1e-10))
+  return -10.0 * np.log10(max(mse, 1e-10)), np.clip(out["rgb"], 0, 1)
 
 
 def build_model_state(cfg, tcfg, num_images, seed: int = 0):
