@@ -142,6 +142,13 @@ def main(argv=None):
   harness = MetricHarness()
   H, W = scene.hw
   results = []
+  miou_eval = None
+  if cfg.semantic and scene.semantics is not None:
+    from snerf_tpu.utils.metrics import MiouEvaluator
+    miou_eval = MiouEvaluator(cfg.semantic_class_num)
+  import time as _time
+  t_eval0 = _time.perf_counter()
+  rays_done = 0
   for pos, ti in enumerate(np.asarray(idxs)):
     pose = (refined_poses[pos] if refined_poses is not None
             else scene.poses[ti])
@@ -156,7 +163,14 @@ def main(argv=None):
       gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
     m = harness(jnp.asarray(out["rgb"]), jnp.asarray(gt))
     results.append({"img": int(ti), **m})
+    rays_done += out["rgb"].shape[0] * out["rgb"].shape[1]
     print(f"img {ti}: psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
+    if miou_eval is not None and "semantic" in out:
+      pred_lab = np.argmax(out["semantic"], axis=-1)
+      gt_lab = scene.semantics[ti]
+      if gt_lab.shape == pred_lab.shape and (gt_lab >= 0).any():
+        miou_eval.add_batch(gt_lab[gt_lab >= 0],
+                            pred_lab[gt_lab >= 0])
 
     import imageio.v2 as imageio
     imageio.imwrite(os.path.join(out_dir, f"{ti:03d}.png"),
@@ -169,8 +183,16 @@ def main(argv=None):
 
   mean_psnr = float(np.mean([r["psnr"] for r in results]))
   mean_ssim = float(np.mean([r["ssim"] for r in results]))
+  eval_rays_per_sec = rays_done / max(
+      _time.perf_counter() - t_eval0, 1e-9)
   summary = {"step": int(restored), "mean_psnr": mean_psnr,
-             "mean_ssim": mean_ssim, "per_image": results}
+             "mean_ssim": mean_ssim,
+             "eval_rays_per_sec": round(eval_rays_per_sec, 1),
+             "per_image": results}
+  if miou_eval is not None:
+    summary["miou"] = miou_eval.miou()
+    print(f"mIoU = {summary['miou']:.4f}")
+  print(f"eval rays/sec = {eval_rays_per_sec:.0f}")
   with open(os.path.join(out_dir, "metrics.json"), "w") as f:
     json.dump(summary, f, indent=2)
   print(f"mean: psnr={mean_psnr:.2f} ssim={mean_ssim:.4f}")
