@@ -141,3 +141,15 @@ def test_feature_fn_random_pyramid():
   np.testing.assert_allclose(np.asarray(e0), 0.0, atol=1e-5)
   b = jnp.asarray(np.random.RandomState(1).rand(32, 32, 3), jnp.float32)
   assert float(fn(a, b).mean()) > 1e-3
+
+
+def test_precompute_with_vgg_mode():
+  scene = make_synthetic_scene(num_images=6, H=16, W=20, datahold=6)
+  from snerf_tpu.models.features import make_feature_fn
+  modes = ("rgb", "depth", "vgg")
+  maps = precompute_conf_maps(modes, scene, conf_num=1,
+                              feature_fn=make_feature_fn())
+  assert maps.shape == (len(scene.i_train), 3, 16, 20)
+  # vgg channel produced meaningful (non-constant) confidences
+  vgg_channel = maps[:, 2].astype(np.float32)
+  assert vgg_channel.std() > 0
