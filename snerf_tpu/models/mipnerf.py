@@ -42,7 +42,10 @@ class MipNerfConfig:
   disable_integration: bool = False
   # Unbounded-scene warp: no_warp_sample=True means classic metric-t sampling.
   no_warp_sample: bool = True
-  warp_fn: Optional[int] = None   # None | 1 (fn1) | 2 (fn2); reference `fn`
+  # reference `fn` flag semantics (mip.py:368-379 warp_fn): 0 selects fn1
+  # (view-centered sqrt warp), any other value selects fn2 (mip-360
+  # contraction) — the shipped configs use fn = 1, i.e. fn2.
+  warp_fn: Optional[int] = 1
   warp_radius: float = 3.0
   t_transform: str = "log"        # transform_idx 0=log, 1=disparity, 2=linear
   hidden_layer: int = 256
@@ -93,7 +96,7 @@ class MipNerfModel(nn.Module):
         diag=True)
     if c.disable_integration:
       covs = jnp.zeros_like(covs)
-    if c.warp_fn == 1:
+    if c.warp_fn == 0:
       warp = lambda x: coord.warp_fn1(x, viewc, far=jnp.max(rays.far))
     else:
       warp = lambda x: coord.warp_fn2(x, radius=c.warp_radius)
@@ -132,7 +135,12 @@ class MipNerfModel(nn.Module):
               keys[0], rays.origins.shape[:-1], c.num_samples)
           level_vals = s_vals
       else:
-        n_fine = c.num_fine if not c.no_warp_sample else c.num_samples
+        # interval-count parity: the no-warp branch redraws n+1 points
+        # (resample_along_rays, mip.py:215-238: t_vals.shape[-1] draws);
+        # the warp branch draws exactly N_fine points, i.e. N_fine - 1
+        # intervals (warp_resample_along_rays, mip.py:294-320).
+        n_fine = (c.num_fine - 1 if not c.no_warp_sample
+                  else c.num_samples)
         new_vals = sampling.resample_from_weights(
             keys[1], level_vals, weights, n_fine,
             resample_padding=c.resample_padding,
