@@ -2,9 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload = the reference's headline training step (BASELINE.md): 4,096
-rays/step, 128 coarse + 128 fine samples/ray, 1024-wide fine MLP,
-proposal + rgb + depth losses, Adam — the full jitted train step including
+Workload = the reference's SHIPPED nuScenes config (BASELINE.md,
+s-nerf/exp/scene_0916/args.txt): 4,096 rays/step, 128 coarse + 128 fine
+samples/ray, 1024-wide fine MLP with 3 rgb layers, the unbounded-scene
+warp path (fn2 contraction + log s->t, full-covariance IPE), proposal +
+rgb + depth losses, Adam — the full jitted train step including
 on-device ray generation.
 
 vs_baseline anchors to an estimated 25k rays/sec for this config on one
@@ -33,7 +35,9 @@ def main():
   dev = scene_to_device(scene)
 
   mcfg = MipNerfConfig(num_samples=128, num_fine=128, hidden_layer=1024,
-                       proposal_hidden_layer=256,
+                       rgb_layer=3, proposal_hidden_layer=256,
+                       no_warp_sample=False, warp_fn=1,
+                       t_transform="log", density_noise=0.0,
                        compute_dtype=jax.numpy.bfloat16)
   n_rgb = 4096
   while n_rgb >= 512:

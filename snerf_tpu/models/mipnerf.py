@@ -98,9 +98,12 @@ class MipNerfModel(nn.Module):
       covs = jnp.zeros_like(covs)
     if c.warp_fn == 0:
       warp = lambda x: coord.warp_fn1(x, viewc, far=jnp.max(rays.far))
+      f_means, f_covs = coord.track_gaussian(warp, means, covs)
     else:
-      warp = lambda x: coord.warp_fn2(x, radius=c.warp_radius)
-    f_means, f_covs = coord.track_gaussian(warp, means, covs)
+      # closed-form Jacobian fast path (exact; hot path of the shipped
+      # warp config)
+      f_means, f_covs = coord.warp_fn2_gaussian(
+          means, covs, radius=c.warp_radius)
     return mip.integrated_pos_enc(
         f_means, f_covs, c.min_deg_point, c.max_deg_point, diag=False)
 

@@ -99,6 +99,41 @@ def track_gaussian(fn: Callable, means, covs_diag):
   return f_means, f_covs
 
 
+def warp_fn2_gaussian(means, covs_diag, radius: float = 3.0):
+  """Closed-form Gaussian propagation through warp_fn2.
+
+  For f(x) = g(r) x with r = |x|: inside the ball g = 1/radius (J =
+  I/radius); outside g(r) = 2/r - radius/r^2 and
+  J = g I + (g'(r)/r) x x^T with g'(r) = -2/r^2 + 2 radius/r^3.
+  Exact (same result as jacfwd-based track_gaussian) at ~1/3 the cost —
+  this is on the per-step hot path of the shipped warp config.
+  Returns (f_means [..., 3], f_covs [..., 3, 3]).
+  """
+  r2 = jnp.sum(means ** 2, axis=-1, keepdims=True)
+  r = jnp.sqrt(jnp.maximum(r2, 1e-16)) + 1e-8  # matches warp_fn2's eps
+  inside = r <= radius
+
+  g = jnp.where(inside, 1.0 / radius, 2.0 / r - radius / (r * r))
+  gp_over_r = jnp.where(
+      inside, 0.0, (-2.0 / (r * r) + 2.0 * radius / (r ** 3)) / r)
+
+  f_means = jnp.where(inside, means / radius, g * means)
+  eye = jnp.eye(3, dtype=means.dtype)
+  # J = g I + c x x^T  (c = g'/r);  cov' = J diag(d) J^T
+  # = g^2 diag(d) + g c (x (x*d)^T + (x*d) x^T) + c^2 (x^T diag(d) x) x x^T
+  xd = means * covs_diag
+  c = gp_over_r
+  outer_x_xd = means[..., :, None] * xd[..., None, :]
+  term1 = (g ** 2)[..., None] * covs_diag[..., None] * eye
+  term2 = (g * c)[..., None] * (outer_x_xd +
+                                jnp.swapaxes(outer_x_xd, -1, -2))
+  xtdx = jnp.sum(means * xd, axis=-1, keepdims=True)
+  term3 = (c ** 2 * xtdx)[..., None] * (
+      means[..., :, None] * means[..., None, :])
+  f_covs = term1 + term2 + term3
+  return f_means, f_covs
+
+
 # ---------------------------------------------------------------------------
 # zip-nerf contraction (coord.py:8-100)
 # ---------------------------------------------------------------------------

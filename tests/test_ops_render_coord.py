@@ -249,3 +249,17 @@ def test_make_c2w_translation_delta():
   c2w = jnp.array([[[1.0, 0, 0, 5], [0, 1, 0, 6], [0, 0, 1, 7]]])
   out = lie.make_c2w(jnp.zeros((1, 3)), jnp.array([[1.0, 2.0, 3.0]]), c2w)
   np.testing.assert_allclose(np.asarray(out)[0, :, 3], [6, 8, 10], atol=1e-6)
+
+
+def test_warp_fn2_gaussian_matches_jacfwd():
+  """Closed-form fn2 Jacobian propagation == autodiff track_gaussian."""
+  rng = np.random.RandomState(0)
+  means = jnp.asarray(rng.randn(6, 5, 3) * 3.0, jnp.float32)  # in+out
+  covs = jnp.asarray(rng.uniform(0.001, 0.05, (6, 5, 3)), jnp.float32)
+  fm1, fc1 = coord.track_gaussian(
+      lambda x: coord.warp_fn2(x, radius=3.0), means, covs)
+  fm2, fc2 = coord.warp_fn2_gaussian(means, covs, radius=3.0)
+  np.testing.assert_allclose(np.asarray(fm2), np.asarray(fm1),
+                             rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1),
+                             rtol=1e-4, atol=1e-6)
