@@ -99,13 +99,14 @@ class MipNerfModel(nn.Module):
     if c.warp_fn == 0:
       warp = lambda x: coord.warp_fn1(x, viewc, far=jnp.max(rays.far))
       f_means, f_covs = coord.track_gaussian(warp, means, covs)
-    else:
-      # closed-form Jacobian fast path (exact; hot path of the shipped
-      # warp config)
-      f_means, f_covs = coord.warp_fn2_gaussian(
-          means, covs, radius=c.warp_radius)
+      return mip.integrated_pos_enc(
+          f_means, f_covs, c.min_deg_point, c.max_deg_point, diag=False)
+    # closed-form diagonal fast path (exact for the axis-aligned IPE
+    # basis; hot path of the shipped warp config)
+    f_means, f_diag = coord.warp_fn2_gaussian_diag(
+        means, covs, radius=c.warp_radius)
     return mip.integrated_pos_enc(
-        f_means, f_covs, c.min_deg_point, c.max_deg_point, diag=False)
+        f_means, f_diag, c.min_deg_point, c.max_deg_point, diag=True)
 
   def __call__(self, rays: Rays, rng: Optional[jax.Array] = None,
                white_bkgd: bool = False, viewc=None):

@@ -134,6 +134,28 @@ def warp_fn2_gaussian(means, covs_diag, radius: float = 3.0):
   return f_means, f_covs
 
 
+def warp_fn2_gaussian_diag(means, covs_diag, radius: float = 3.0):
+  """Like warp_fn2_gaussian but returns only diag(J diag(d) J^T).
+
+  The axis-aligned IPE (integrated_pos_enc with the 2^i I basis) uses
+  ONLY the diagonal of the warped covariance, so the full 3x3 tensor is
+  wasted work: diag_k = g^2 d_k + 2 g c x_k^2 d_k + c^2 x_k^2 (x.(d*x)).
+  Returns (f_means [..., 3], f_var_diag [..., 3]).
+  """
+  r2 = jnp.sum(means ** 2, axis=-1, keepdims=True)
+  r = jnp.sqrt(jnp.maximum(r2, 1e-16)) + 1e-8
+  inside = r <= radius
+  g = jnp.where(inside, 1.0 / radius, 2.0 / r - radius / (r * r))
+  c = jnp.where(inside, 0.0,
+                (-2.0 / (r * r) + 2.0 * radius / (r ** 3)) / r)
+  f_means = g * means
+  x2 = means ** 2
+  xtdx = jnp.sum(covs_diag * x2, axis=-1, keepdims=True)
+  diag = (g ** 2) * covs_diag + 2.0 * g * c * x2 * covs_diag \
+      + (c ** 2) * x2 * xtdx
+  return f_means, diag
+
+
 # ---------------------------------------------------------------------------
 # zip-nerf contraction (coord.py:8-100)
 # ---------------------------------------------------------------------------

@@ -263,3 +263,22 @@ def test_warp_fn2_gaussian_matches_jacfwd():
                              rtol=1e-5, atol=1e-6)
   np.testing.assert_allclose(np.asarray(fc2), np.asarray(fc1),
                              rtol=1e-4, atol=1e-6)
+
+
+def test_warp_fn2_gaussian_diag_matches_full():
+  rng = np.random.RandomState(5)
+  means = jnp.asarray(rng.randn(4, 6, 3) * 3.0, jnp.float32)
+  covs = jnp.asarray(rng.uniform(0.001, 0.05, (4, 6, 3)), jnp.float32)
+  fm_full, fc_full = coord.warp_fn2_gaussian(means, covs, radius=3.0)
+  fm_diag, fd = coord.warp_fn2_gaussian_diag(means, covs, radius=3.0)
+  np.testing.assert_allclose(np.asarray(fm_diag), np.asarray(fm_full),
+                             atol=1e-6)
+  full_diag = np.diagonal(np.asarray(fc_full), axis1=-2, axis2=-1)
+  np.testing.assert_allclose(np.asarray(fd), full_diag, rtol=1e-4,
+                             atol=1e-7)
+  # and identical IPE features either way
+  from snerf_tpu.ops import mip
+  e1 = mip.integrated_pos_enc(fm_full, fc_full, 0, 8, diag=False)
+  e2 = mip.integrated_pos_enc(fm_diag, fd, 0, 8, diag=True)
+  np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), rtol=1e-4,
+                             atol=1e-5)
