@@ -40,6 +40,9 @@ class Config:
   skymask: bool = False
   near_far: bool = True            # near/far from depth bounds
   factor: int = 1                  # image downsample factor
+  # foreground (moving-vehicle) branch: bbox-restricted ray sampling
+  block_bg: bool = False
+  car_sample_n: int = 9
 
   # --- model ---
   N_samples: int = 128
@@ -257,7 +260,7 @@ _IGNORED_FLAGS = {
     "precrop_frac", "testskip", "shape", "half_res", "no_ndc", "spherify",
     "i_img", "i_video", "debug", "alpha_model_path",
     "no_coarse", "train_scene", "test_scene", "colmap_depth",
-    "weighted_loss", "relative_loss", "car_sample_n", "block_bg",
+    "weighted_loss", "relative_loss",
     "reg_loss", "reg_lambda", "weight_decay_mult", "distributed", "log",
     "translation", "conf_max", "flow", "load_poses",
     "far_bound", "no_reproj", "no_geometry", "render_sky", "half_test",

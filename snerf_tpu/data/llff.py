@@ -69,7 +69,8 @@ def spherify_poses(poses, bds):
 def load_llff_scene(datadir: str, factor: int = 8,
                     bd_factor: float = 0.75, recenter: bool = True,
                     spherify: bool = False, llffhold: int = 8,
-                    no_ndc: bool = True) -> Scene:
+                    no_ndc: bool = True, block_bg: bool = False,
+                    car_sample_n: int = 9) -> Scene:
   images = _load_images(datadir, factor)
   N, H, W = images.shape[:3]
 
@@ -105,6 +106,20 @@ def load_llff_scene(datadir: str, factor: int = 8,
   else:
     near, far = 0.0, 1.0
 
+  # foreground (moving-vehicle) branch: per-image vehicle bboxes
+  # (reference dataloader.py:17-19 loads bboxes/<n>_bboxes.pt)
+  bboxes = None
+  if block_bg:
+    bbox_path = os.path.join(datadir, "bboxes",
+                             f"{car_sample_n}_bboxes.pt")
+    if os.path.exists(bbox_path):
+      import torch
+      bboxes = np.asarray(torch.load(bbox_path,
+                                     map_location="cpu")).astype(
+                                         np.float32)
+      if factor > 1:
+        bboxes = bboxes / factor
+
   i_test = np.arange(N)[::llffhold] if llffhold > 0 else np.array([], int)
   i_train = np.array([i for i in range(N)
                       if i not in set(i_test.tolist())])
@@ -113,5 +128,5 @@ def load_llff_scene(datadir: str, factor: int = 8,
                 intrinsics=K, near=near, far=far,
                 cam_index=np.zeros(N, np.int32),
                 i_train=i_train, i_test=i_test, scale=sc,
-                render_poses=render_poses)
+                render_poses=render_poses, bboxes=bboxes)
   return scene

@@ -32,6 +32,8 @@ def scene_to_device(scene: Scene, include_depth: bool = True,
   }
   if include_depth and scene.depths is not None:
     d["depths"] = jnp.asarray(scene.depths, jnp.float32)
+  if getattr(scene, "bboxes", None) is not None:
+    d["bboxes"] = jnp.asarray(scene.bboxes, jnp.float32)
   if scene.skymask is not None:
     d["skymask"] = jnp.asarray(scene.skymask)
   if include_semantic and scene.semantics is not None:
@@ -85,9 +87,21 @@ def sample_batch(key,
     img_idx = i_train[
         jax.random.randint(k_img, (n_rand,), 0, i_train.shape[0])]
 
-  pix_flat = jax.random.randint(k_pix, (n_rand,), 0, H * W)
-  py = pix_flat // W
-  px = pix_flat % W
+  if "bboxes" in device_scene:
+    # foreground branch (reference --block_bg, sample_utils.py:29-49):
+    # rays restricted to each image's 2D vehicle bbox [x0, y0, x1, y1]
+    bb = device_scene["bboxes"][img_idx]  # [n_rand, 4]
+    ku, kv = jax.random.split(k_pix)
+    u = jax.random.uniform(ku, (n_rand,))
+    v = jax.random.uniform(kv, (n_rand,))
+    px = jnp.clip((bb[:, 0] + u * (bb[:, 2] - bb[:, 0])).astype(jnp.int32),
+                  0, W - 1)
+    py = jnp.clip((bb[:, 1] + v * (bb[:, 3] - bb[:, 1])).astype(jnp.int32),
+                  0, H - 1)
+  else:
+    pix_flat = jax.random.randint(k_pix, (n_rand,), 0, H * W)
+    py = pix_flat // W
+    px = pix_flat % W
 
   if n_patches > 0:
     ppy, ppx = sample_patch_coords(k_patch, H, W, n_patches, patch_size)

@@ -34,6 +34,9 @@ class Scene:
   i_test: Optional[np.ndarray] = None
   scale: float = 1.0                 # world-units scale factor applied
   render_poses: Optional[np.ndarray] = None
+  # foreground (moving-vehicle) branch: per-image 2D bbox [x0, y0, x1, y1]
+  # restricting ray sampling (reference --block_bg, dataloader.py:17-19)
+  bboxes: Optional[np.ndarray] = None
 
   @property
   def hw(self):

@@ -113,3 +113,19 @@ def test_train_step_sharded_on_mesh():
   assert int(state.step) == 2
   # pose params got an update path (zero-init but present)
   assert state.pose_params is not None
+
+
+def test_bbox_restricted_sampling():
+  """Foreground branch: all sampled pixels fall inside per-image bboxes."""
+  scene = small_scene()
+  scene.bboxes = np.tile(np.array([[8.0, 4.0, 20.0, 16.0]]),
+                         (scene.num_images, 1)).astype(np.float32)
+  dev = scene_to_device(scene)
+  assert "bboxes" in dev
+  rays, targets = sample_batch(
+      jax.random.PRNGKey(0), dev, jnp.asarray(scene.i_train), 128,
+      scene.near, scene.far, single_image=False)
+  px = np.asarray(targets["px"])
+  py = np.asarray(targets["py"])
+  assert (px >= 8).all() and (px < 20).all()
+  assert (py >= 4).all() and (py < 16).all()

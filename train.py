@@ -36,7 +36,9 @@ def load_scene(cfg):
   elif cfg.dataset_type == "llff":
     from snerf_tpu.data.llff import load_llff_scene
     return load_llff_scene(cfg.datadir, factor=max(cfg.factor, 1),
-                           llffhold=cfg.llffhold)
+                           llffhold=cfg.llffhold,
+                           block_bg=cfg.block_bg,
+                           car_sample_n=cfg.car_sample_n)
   else:
     raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
 
