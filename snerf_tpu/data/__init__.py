@@ -7,6 +7,25 @@ workers (replaces reference rayset.py SingleImage and zipnerf
 datasets.py:489 CPU cast_ray_batch).
 """
 
-from snerf_tpu.data.raygen import pixels_to_rays, rays_for_image  # noqa: F401
-from snerf_tpu.data.scene import Scene  # noqa: F401
+from snerf_tpu.data.raygen import (  # noqa: F401
+    pixels_to_rays, rays_for_image, rays_for_panorama)
+from snerf_tpu.data.scene import Scene, load_nuscenes_scene  # noqa: F401
 from snerf_tpu.data.synthetic import make_synthetic_scene  # noqa: F401
+
+
+def load_scene_by_type(dataset_type: str, datadir: str, **kwargs):
+  """Loader dispatch (reference dataloader.load_dataset parity)."""
+  if dataset_type == "nuscenes":
+    return load_nuscenes_scene(datadir, **kwargs)
+  if dataset_type == "waymo":
+    from snerf_tpu.data.waymo import load_waymo_scene
+    return load_waymo_scene(datadir, **kwargs)
+  if dataset_type == "llff":
+    from snerf_tpu.data.llff import load_llff_scene
+    return load_llff_scene(datadir, **kwargs)
+  if dataset_type == "blender":
+    from snerf_tpu.data.blender import load_blender_scene
+    return load_blender_scene(datadir, **kwargs)
+  if dataset_type == "synthetic":
+    return make_synthetic_scene(**kwargs)
+  raise ValueError(f"unknown dataset_type {dataset_type!r}")
