@@ -50,3 +50,22 @@ def restore_checkpoint(ckpt_dir: str, target: Any,
     return target, None
   restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
   return restored, step
+
+
+def save_pose_checkpoint(exp_dir: str, pose_params: Any, step: int,
+                         keep: int = 3, wait: bool = False):
+  """Separate pose-net checkpoint stream (reference keeps the pose ckpt
+  apart from the model: s-nerf/train.py:275-280 pose/ subdir; zipnerf
+  checkpoints.py posenet_ckpt_ prefix) — lets pose refinements be mixed
+  across model checkpoints."""
+  return save_checkpoint(os.path.join(exp_dir, "pose"),
+                         {"pose_params": pose_params}, step, keep=keep,
+                         wait=wait)
+
+
+def restore_pose_checkpoint(exp_dir: str, target_pose_params: Any,
+                            step: Optional[int] = None):
+  restored, got = restore_checkpoint(
+      os.path.join(exp_dir, "pose"),
+      {"pose_params": target_pose_params}, step=step)
+  return restored["pose_params"], got

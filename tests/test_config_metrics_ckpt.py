@@ -131,3 +131,13 @@ def test_render_cli_random_mode(tmp_path):
   import numpy as np
   poses = np.load(os.path.join(out, "render_poses.npy"))
   assert poses.shape == (2, 4, 4)
+
+
+def test_pose_checkpoint_stream(tmp_path):
+  from snerf_tpu.train import checkpoints as C
+  pose = {"r": jnp.ones((4, 3)), "t": jnp.zeros((4, 3))}
+  C.save_pose_checkpoint(str(tmp_path), pose, step=5, wait=True)
+  target = {"r": jnp.zeros((4, 3)), "t": jnp.zeros((4, 3))}
+  restored, step = C.restore_pose_checkpoint(str(tmp_path), target)
+  assert step == 5
+  np.testing.assert_allclose(np.asarray(restored["r"]), 1.0)

@@ -133,6 +133,12 @@ def main(argv=None):
       if i % cfg.i_weights == 0 or i == cfg.N_iters:
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == cfg.N_iters))
+        if state.pose_params is not None:
+          # separate pose-net checkpoint stream (reference
+          # train.py:275-280)
+          ckpt_lib.save_pose_checkpoint(exp_dir, state.pose_params, i,
+                                        keep=cfg.ckpt_keep,
+                                        wait=(i == cfg.N_iters))
         print(f"saved checkpoint at step {i}")
   logger.close()
   return state
