@@ -66,16 +66,21 @@ def main(argv=None):
   print(f"rendering from checkpoint step {restored}")
 
   H, W = scene.hw
+  hws = None
   mode = extra["render_mode"]
   n_render = int(extra["render_n"])
   if mode == "random":
     # WAYMO_RENDER-style novel poses around the training trajectory.
+    # Per-pose image sizes: forward vs side cameras may differ.
+    hw_fwd = np.array([H, W])
+    hw_side = np.array([H, W])
     pose_set = generate_random_render_poses(
         scene.poses, scene.intrinsics[0], scene.intrinsics[-1],
-        np.array([H, W]), np.array([H, W]), scene.scale,
+        hw_fwd, hw_side, scene.scale,
         n_render=n_render, seed=int(extra["render_seed"]))
     poses = pose_set.poses[:, :3, :]
     Ks = pose_set.intrinsics
+    hws = pose_set.hws
     transform = getattr(scene, "pca_transform", np.eye(4))
     raw = render2raw(pose_set.poses, transform, scene.scale, np.eye(4))
     np.save(os.path.join(out_dir, "raw_target_poses.npy"), raw)
@@ -109,8 +114,10 @@ def main(argv=None):
 
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   for i in range(len(poses)):
+    hi, wi = (int(hws[i][0]), int(hws[i][1])) if hws is not None \
+        else (H, W)
     rays = rays_for_image(
-        jnp.asarray(poses[i]), jnp.asarray(Ks[i]), H, W,
+        jnp.asarray(poses[i]), jnp.asarray(Ks[i]), hi, wi,
         scene.near, scene.far, render_factor=cfg.render_factor)
     out = render_image(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
     imageio.imwrite(

@@ -99,6 +99,9 @@ class Config:
   single_image: bool = True
 
   # --- logging / checkpoints ---
+  # lax.scan multi-step unroll: >1 keeps state on device between host
+  # visits (one dispatch per `unroll_steps`); compile time grows with it
+  unroll_steps: int = 1
   i_print: int = 100
   i_weights: int = 5000
   i_testset: int = 200_000

@@ -97,17 +97,30 @@ def main(argv=None):
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   ctx = mesh or _nullcontext()
   with ctx:
-    step_fn = make_train_step(model, pose_model, tcfg, dev_scene,
-                              scene.i_train, scene.near, scene.far,
-                              mesh=mesh, conf_maps=conf_maps)
+    unroll = max(int(cfg.unroll_steps), 1)
+    if unroll > 1:
+      from snerf_tpu.train.trainer import make_train_loop
+      raw = make_train_step(model, pose_model, tcfg, dev_scene,
+                            scene.i_train, scene.near, scene.far,
+                            mesh=mesh, conf_maps=conf_maps, jit=False)
+      loop_fn = make_train_loop(raw, unroll, donate=True)
+      step_fn = None
+    else:
+      step_fn = make_train_step(model, pose_model, tcfg, dev_scene,
+                                scene.i_train, scene.near, scene.far,
+                                mesh=mesh, conf_maps=conf_maps)
     key = jax.random.PRNGKey(start_step + 1)
     t0 = time.perf_counter()
     rays_done = 0
     metrics = {}
-    for i in range(start_step + 1, cfg.N_iters + 1):
+    i = start_step
+    for i in range(start_step + unroll, cfg.N_iters + 1, unroll):
       key, k = jax.random.split(key)
-      state, metrics = step_fn(state, k)
-      rays_done += cfg.N_rgb
+      if unroll > 1:
+        state, metrics = loop_fn(state, k)
+      else:
+        state, metrics = step_fn(state, k)
+      rays_done += cfg.N_rgb * unroll
       if i % cfg.i_print == 0:
         m = {k_: float(v) for k_, v in metrics.items()}
         dt = time.perf_counter() - t0
