@@ -139,7 +139,7 @@ def main(argv=None):
   else:
     render_fn = make_eval_render_fn(model, state.params,
                                     white_bkgd=cfg.white_bkgd)
-  harness = MetricHarness()
+  harness = MetricHarness(lpips=cfg.lpips)
   H, W = scene.hw
   results = []
   miou_eval = None

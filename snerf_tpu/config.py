@@ -126,6 +126,8 @@ class Config:
   llffhold: int = 8
 
   # --- eval ---
+  lpips: bool = False              # optional perceptual metric (see
+                                   # MetricHarness docstring)
   chunk: int = 4096
   render_factor: int = 0
   eval_test: bool = True

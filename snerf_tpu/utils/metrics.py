@@ -11,6 +11,8 @@ All jit-/vmap-clean; images are [..., H, W, C] float in [0, 1].
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,13 +100,30 @@ def ms_ssim(img0, img1, max_val: float = 1.0, window_size: int = 11,
 
 
 class MetricHarness:
-  """PSNR + SSIM pair (zipnerf image.py:110-125 parity)."""
+  """PSNR + SSIM pair (zipnerf image.py:110-125 parity), optional LPIPS.
+
+  LPIPS note: the reference lists lpips in requirements but never wires
+  it into shipped eval (SURVEY §5.5); here it is optional and uses the
+  VGG-topology feature distance (models/features.py) — pretrained
+  weights when a local path is given, seeded-random projection features
+  otherwise (a relative perceptual distance, not calibrated LPIPS).
+  """
+
+  def __init__(self, lpips: bool = False,
+               lpips_weights_path: Optional[str] = None):
+    self._lpips_fn = None
+    if lpips:
+      from snerf_tpu.models.features import make_feature_fn
+      self._lpips_fn = make_feature_fn(lpips_weights_path)
 
   def __call__(self, rgb_pred, rgb_gt):
-    return {
+    out = {
         "psnr": float(psnr(rgb_pred, rgb_gt)),
         "ssim": float(ssim(rgb_pred, rgb_gt)),
     }
+    if self._lpips_fn is not None:
+      out["lpips"] = float(jnp.mean(self._lpips_fn(rgb_pred, rgb_gt)))
+    return out
 
 
 def kitti_depth_metrics(pred, gt, min_depth: float = 1e-3,
