@@ -73,6 +73,47 @@ def draw_bbox_2d(image, bboxes, color=(0, 255, 0)):
   return out
 
 
+def kitti_bbox_corners(b):
+  """8 corners of a KITTI 3D box in CAMERA coordinates (annotate_code/
+  visualize.py convention: x right, y down, z forward; box bottom at
+  pos_y, dims h/w/l, yaw rot_y about the camera y axis)."""
+  h, w, l = b["height"], b["width"], b["length"]
+  x = np.array([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2,
+                -l / 2])
+  y = np.array([0, 0, 0, 0, -h, -h, -h, -h])
+  z = np.array([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2,
+                w / 2])
+  ry = b["rot_y"]
+  rot = np.array([[np.cos(ry), 0, np.sin(ry)],
+                  [0, 1, 0],
+                  [-np.sin(ry), 0, np.cos(ry)]])
+  pts = rot @ np.stack([x, y, z])
+  return (pts + np.array([[b["pos_x"]], [b["pos_y"]],
+                          [b["pos_z"]]])).T  # [8, 3]
+
+
+_BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+              (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def draw_bbox_3d(image, bboxes, K, color=(255, 128, 0)):
+  """Project and draw KITTI 3D boxes (visualize_one_rec parity)."""
+  import cv2
+  out = np.ascontiguousarray(np.asarray(image).copy())
+  K = np.asarray(K)
+  for b in bboxes:
+    corners = kitti_bbox_corners(b)
+    z = corners[:, 2]
+    if (z <= 0.1).any():
+      continue
+    uv = (corners @ K.T)
+    uv = uv[:, :2] / uv[:, 2:3]
+    for (a, c) in _BOX_EDGES:
+      cv2.line(out, tuple(np.round(uv[a]).astype(int)),
+               tuple(np.round(uv[c]).astype(int)), color, 1)
+  return out
+
+
 def _colormap_turbo(x):
   """Compact turbo colormap approximation; x in [0,1] -> rgb uint8."""
   x = np.clip(np.asarray(x, np.float64), 0, 1)

@@ -66,3 +66,18 @@ def test_foreground_preprocess():
   assert mask.sum() == 4
   np.testing.assert_allclose(rgb[1, 1], [0.5, 0.25, 1.0])
   np.testing.assert_allclose(rgb[0, 0], 0.0)
+
+
+def test_draw_bbox_3d():
+  b = dict(height=1.5, width=1.8, length=4.0, pos_x=0.0, pos_y=1.0,
+           pos_z=10.0, rot_y=0.3)
+  from snerf_tpu.utils.vis import draw_bbox_3d, kitti_bbox_corners
+  corners = kitti_bbox_corners(b)
+  assert corners.shape == (8, 3)
+  # box extent along camera z is ~ within [pos_z - l, pos_z + l]
+  assert corners[:, 2].min() > 10.0 - 4.0
+  assert corners[:, 2].max() < 10.0 + 4.0
+  K = np.array([[100.0, 0, 60], [0, 100.0, 40], [0, 0, 1]])
+  img = np.zeros((80, 120, 3), np.uint8)
+  out = draw_bbox_3d(img, [b], K)
+  assert out.sum() > 0  # something was drawn
