@@ -45,7 +45,8 @@ def parse_kitti_line(line: str) -> Dict:
 
 def write_annotation(out_root: str, scene: str, frames: Sequence[Dict],
                      render_poses=None, intrinsics=None,
-                     bev_results=None, timestamp: str = None) -> str:
+                     bev_results=None, timestamp: str = None,
+                     write_vis: bool = False) -> str:
   """Assemble one annotation run.
 
   frames: list of dicts with rgb [H,W,3] float/uint8, depth [H,W] metric,
@@ -72,6 +73,14 @@ def write_annotation(out_root: str, scene: str, frames: Sequence[Dict],
     with open(os.path.join(run_dir, "bbox", f"{i:05d}.txt"), "w") as f:
       for b in fr.get("bboxes", []):
         f.write(bbox_to_kitti_line(b) + "\n")
+    if write_vis and fr.get("bboxes") and intrinsics is not None:
+      # vis/ with drawn 2D+3D boxes (get_results.py vis output parity)
+      from snerf_tpu.utils.vis import draw_bbox_2d, draw_bbox_3d
+      os.makedirs(os.path.join(run_dir, "vis"), exist_ok=True)
+      K = intrinsics[i] if np.ndim(intrinsics) == 3 else intrinsics
+      vis = draw_bbox_2d(rgb, fr["bboxes"])
+      vis = draw_bbox_3d(vis, fr["bboxes"], K)
+      imageio.imwrite(os.path.join(run_dir, "vis", f"{i:05d}.png"), vis)
 
   if render_poses is not None:
     np.save(os.path.join(run_dir, "target_poses.npy"), render_poses)
