@@ -163,8 +163,10 @@ def generate_random_render_poses(poses, K_forward, K_side, hw_forward,
   front cameras; side cameras slerp rotation only."""
   rng = np.random.RandomState(seed)
   total = len(poses)
-  frame_num = total // num_cams
-  frame_offset = 5
+  frame_num = max(total // num_cams, 1)
+  # keep 5 frames away from the sequence ends when the sequence allows
+  # it (datasets.py frame_offset=5); shrink for short/test scenes
+  frame_offset = min(5, max(frame_num // 4, 0))
   dx, dy, dz = np.array([0.5, 0.5, 0.25]) * scale_factor
   dxt, dyt = 2.5, 5.0
 
@@ -178,7 +180,7 @@ def generate_random_render_poses(poses, K_forward, K_side, hw_forward,
       part = rng.randint(0, num_cams)
     frame_id = rng.randint(frame_offset, max(frame_num - frame_offset,
                                              frame_offset + 1))
-    idx = part * frame_num + frame_id
+    idx = int(np.clip(part * frame_num + frame_id, 0, total - 1))
 
     if idx > total * 3 // num_cams - 1:  # side cameras
       ano = idx + rng.choice([0, 1, -1])
