@@ -94,4 +94,13 @@ def main():
 
 
 if __name__ == "__main__":
-  main()
+  try:
+    main()
+  except Exception as e:  # noqa: BLE001
+    # transient tunneled-TPU worker crashes (UNAVAILABLE) were observed
+    # once this round; one retry after a cool-down is cheap insurance
+    if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+      time.sleep(20)
+      main()
+    else:
+      raise
