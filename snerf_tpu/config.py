@@ -229,8 +229,57 @@ def _coerce(value: str) -> Any:
     return s
 
 
+# gin bindings (zipnerf configs/*.gin) -> Config fields. Unmapped gin
+# keys are accepted and ignored with a warning (gin exposes ~100 knobs).
+_GIN_MAP = {
+    "Config.exp_name": "expname",
+    "Config.data_dir": "datadir",
+    "Config.dataset_loader": "dataset_type",
+    "Config.near": None,   # zipnerf near/far are auto-scaled by the
+    "Config.far": None,    # loader (datasets.py:836-841); ignored here
+    "Config.factor": "factor",
+    "Config.batch_size": "zip_batch_size",
+    "Config.max_steps": "zip_max_steps",
+    "Config.lr_init": "zip_lr_init",
+    "Config.lr_final": "zip_lr_final",
+    "Config.lr_delay_steps": "zip_lr_delay",
+    "Config.render_chunk_size": "chunk",
+    "Config.anti_interlevel_loss_mult": "anti_interlevel_loss_mult",
+    "Config.distortion_loss_mult": "distortion_loss_mult",
+    "Config.hash_decay_mults": "hash_decay_mult",
+    "Config.use_semantic": "semantic",
+    "Config.llffhold": "llffhold",
+    "Model.num_nerf_samples": "zip_num_nerf_samples",
+    "Model.num_prop_samples": "zip_num_prop_samples",
+    "Model.num_glo_features": "zip_glo_features",
+    "NerfMLP.class_num": "semantic_class_num",
+}
+
+
+def parse_gin_file(path: str) -> dict:
+  """Minimal gin-binding reader for the reference's zipnerf .gin configs
+  (`Class.field = value` lines) mapped onto our Config fields."""
+  out = {"model": "zipnerf"}
+  with open(path) as f:
+    for line in f:
+      line = line.split("#")[0].strip()
+      if not line or "=" not in line:
+        continue
+      k, v = line.split("=", 1)
+      k = k.strip()
+      if k in _GIN_MAP:
+        field = _GIN_MAP[k]
+        if field is not None:
+          out[field] = _coerce(v)
+      # unknown gin bindings: accepted and ignored (raydist_fn,
+      # opaque_background etc. are already the zip model defaults)
+  return out
+
+
 def parse_config_file(path: str) -> dict:
-  """Parse either YAML or reference-style `key = value` lines."""
+  """Parse YAML, gin, or reference-style `key = value` text configs."""
+  if path.endswith(".gin"):
+    return parse_gin_file(path)
   with open(path) as f:
     text = f.read()
   if path.endswith((".yaml", ".yml")):

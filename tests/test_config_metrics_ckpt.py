@@ -141,3 +141,21 @@ def test_pose_checkpoint_stream(tmp_path):
   restored, step = C.restore_pose_checkpoint(str(tmp_path), target)
   assert step == 5
   np.testing.assert_allclose(np.asarray(restored["r"]), 1.0)
+
+
+def test_gin_config_adapter(tmp_path):
+  """Load the reference's own waymo.gin through the adapter."""
+  import shutil
+  ref_gin = "/root/reference/s-nerfpp/zipnerf/configs/waymo.gin"
+  if os.path.exists(ref_gin):
+    p = tmp_path / "waymo.gin"
+    shutil.copy(ref_gin, p)
+  else:
+    p = tmp_path / "waymo.gin"
+    p.write_text("Config.exp_name = 'test3'\n"
+                 "Config.dataset_loader = 'waymo'\n"
+                 "Model.raydist_fn = 'power_transformation'\n")
+  cfg = load_config(["--config", str(p)])
+  assert cfg.model == "zipnerf"
+  assert cfg.expname == "test3"
+  assert cfg.dataset_type == "waymo"
