@@ -159,3 +159,19 @@ def test_gin_config_adapter(tmp_path):
   assert cfg.model == "zipnerf"
   assert cfg.expname == "test3"
   assert cfg.dataset_type == "waymo"
+
+
+def test_cli_resume_continues_training(tmp_path):
+  import train as T
+  base = str(tmp_path)
+  args = ["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--i_weights", "20", "--i_print", "20", "--N_samples", "8",
+          "--N_fine", "8", "--hidden_layer", "16",
+          "--proposal_hidden_layer", "16"]
+  T.main(args + ["--N_iters", "20"])
+  ckpt_dir = os.path.join(base, "synthetic_tiny", "checkpoints")
+  from snerf_tpu.train import checkpoints as C
+  assert C.latest_step(ckpt_dir) == 20
+  # second invocation resumes from 20 and trains to 40
+  T.main(args + ["--N_iters", "40"])
+  assert C.latest_step(ckpt_dir) == 40

@@ -95,6 +95,11 @@ def main(argv=None):
   from snerf_tpu.utils.logging import ExperimentLogger
   logger = ExperimentLogger(exp_dir)
   mesh = make_mesh() if len(jax.devices()) > 1 else None
+  if mesh is not None and start_step > 0:
+    # orbax restores onto device 0; replicate over the mesh so the
+    # sharded step accepts it
+    from snerf_tpu.parallel import replicate_sharding
+    state = jax.device_put(state, replicate_sharding(mesh))
   ctx = mesh or _nullcontext()
   with ctx:
     unroll = max(int(cfg.unroll_steps), 1)
