@@ -196,7 +196,9 @@ class ZipNerfModel(nn.Module):
   def setup(self):
     c = self.config
     self.prop_mlps = [
-        ZipMLP(cfg=c, grid_resolution=c.prop_grid_resolutions[i],
+        ZipMLP(cfg=c,
+               grid_resolution=c.prop_grid_resolutions[
+                   min(i, len(c.prop_grid_resolutions) - 1)],
                grid_level_dim=c.prop_grid_level_dim, disable_rgb=True,
                name=f"prop_mlp_{i}")
         for i in range(c.num_levels - 1)]

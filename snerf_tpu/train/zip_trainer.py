@@ -189,7 +189,8 @@ def make_zip_train_step(model: ZipNerfModel,
       for i, rh in enumerate(ray_history[:-1]):
         il = il + L.interlevel_loss_anti(
             rh["sdist"], rh["weights"], c, w,
-            blur_r=cfg.pulse_width[i], weight=1.0)
+            blur_r=cfg.pulse_width[min(i, len(cfg.pulse_width) - 1)],
+            weight=1.0)
       il = il * cfg.anti_interlevel_loss_mult
       total = total + il
       metrics["loss_interlevel"] = il
