@@ -110,6 +110,25 @@ def ndc_rays(H: int, W: int, focal: float, near: float, rays_o, rays_d):
   return (jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1))
 
 
+def make_frozen_density_fn(model: "ClassicNerfModel", alpha_params):
+  """Density provider from a FROZEN alpha model for the NeRF_RGB variant
+  (run_nerf_helpers.py:157-241: rgb trains, geometry comes stop-gradded
+  from a pretrained model). Pass the result as `frozen_density_fn` to
+  ClassicNerfModel.apply."""
+
+  def fn(pts, viewdirs, level: int):
+    raw = model.apply({"params": alpha_params}, pts, viewdirs, level,
+                      method=_frozen_density_method)
+    return jax.lax.stop_gradient(raw)
+
+  return fn
+
+
+def _frozen_density_method(self, pts, viewdirs, level):
+  mlp = self.coarse if level == 0 else self.fine
+  return self._run_mlp(mlp, pts, viewdirs)[..., 3]
+
+
 class ClassicNerfAdapter(nn.Module):
   """Exposes ClassicNerfModel through the MipNerfModel return contract
   (list of per-level dicts) so the shared trainer/renderer drive it."""
@@ -148,7 +167,7 @@ class ClassicNerfModel(nn.Module):
                           append_identity=True)
     return mlp(pts_enc, v_enc)
 
-  def __call__(self, rays, rng=None):
+  def __call__(self, rays, rng=None, frozen_density_fn=None):
     c = self.config
     keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
     near = rays.near
@@ -171,6 +190,11 @@ class ClassicNerfModel(nn.Module):
     pts = rays.origins[..., None, :] + \
         rays.directions[..., None, :] * z_vals[..., None]
     raw = self._run_mlp(self.coarse, pts, rays.viewdirs)
+    if frozen_density_fn is not None:
+      # NeRF_RGB: frozen geometry, trainable appearance
+      raw = jnp.concatenate(
+          [raw[..., :3],
+           frozen_density_fn(pts, rays.viewdirs, 0)[..., None]], -1)
     rgb0, disp0, acc0, weights, depth0 = raw2outputs(
         raw, z_vals, rays.directions, c.raw_noise_std, c.white_bkgd,
         key=keys[1])
@@ -186,6 +210,10 @@ class ClassicNerfModel(nn.Module):
       pts = rays.origins[..., None, :] + \
           rays.directions[..., None, :] * z_all[..., None]
       raw = self._run_mlp(self.fine, pts, rays.viewdirs)
+      if frozen_density_fn is not None:
+        raw = jnp.concatenate(
+            [raw[..., :3],
+             frozen_density_fn(pts, rays.viewdirs, 1)[..., None]], -1)
       rgb, disp, acc, weights, depth = raw2outputs(
           raw, z_all, rays.directions, c.raw_noise_std, c.white_bkgd,
           key=keys[3])

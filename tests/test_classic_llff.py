@@ -85,3 +85,33 @@ def test_llff_loader_contract(tmp_path):
   assert scene.render_poses.shape[1:] == (3, 4)
   assert scene.near > 0 and scene.far > scene.near
 
+
+
+def test_frozen_alpha_nerf_rgb_variant():
+  """NeRF_RGB: frozen geometry, trainable rgb (run_nerf_helpers 157-241)."""
+  from snerf_tpu.models.classic import (
+      ClassicNerfConfig, ClassicNerfModel, make_frozen_density_fn)
+  cfg = ClassicNerfConfig(net_depth=2, net_width=16, n_samples=8,
+                          n_importance=8, multires=4)
+  model = ClassicNerfModel(config=cfg)
+  rays = make_rays(4)
+  v_alpha = model.init(jax.random.PRNGKey(0), rays, rng=None)
+  v_rgb = model.init(jax.random.PRNGKey(1), rays, rng=None)
+  frozen_fn = make_frozen_density_fn(model, v_alpha["params"])
+
+  out = model.apply(v_rgb, rays, rng=None, frozen_density_fn=frozen_fn)
+  ref_alpha = model.apply(v_alpha, rays, rng=None)
+  # geometry (weights/depth) comes from the frozen model
+  np.testing.assert_allclose(np.asarray(out["depth"]),
+                             np.asarray(ref_alpha["depth"]), atol=1e-5)
+  # rgb differs from the frozen model's (different rgb params)
+  assert not np.allclose(np.asarray(out["rgb"]),
+                         np.asarray(ref_alpha["rgb"]))
+  # gradients reach ONLY the rgb side through this path
+  def loss(p):
+    o = model.apply({"params": p}, rays, rng=None,
+                    frozen_density_fn=frozen_fn)
+    return jnp.mean(o["rgb"] ** 2)
+  g = jax.grad(loss)(v_rgb["params"])
+  gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+  assert np.isfinite(gsum) and gsum > 0
