@@ -13,7 +13,7 @@ Behavioral parity targets (re-derived):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -18,8 +18,6 @@ kernel (snerf_tpu/ops/pallas/) replaces the hot path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Behavioral parity targets (re-derived):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

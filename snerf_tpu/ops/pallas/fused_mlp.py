@@ -19,7 +19,6 @@ fusing the backward is round-2 work.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ Behavioral parity targets (math re-derived, vectorized):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 SKY_CLASS = 142          # mseg 'sky' label (YORO:797)

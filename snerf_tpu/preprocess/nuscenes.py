@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

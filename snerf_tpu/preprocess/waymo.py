@@ -10,8 +10,6 @@ with 886 valid rows, poses_bounds n x 19, depth pngs copied as uint16.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import numpy as np
 
 SIDE_VALID_ROWS = 886

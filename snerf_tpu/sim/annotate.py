@@ -11,11 +11,10 @@ Behavioral parity targets (re-derived):
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import time
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ Behavioral parity targets (re-derived):
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 
 from snerf_tpu.sim import annotate, compose, placement, shadows
-from snerf_tpu.sim.mesh import AssetBank, place_mesh
+from snerf_tpu.sim.mesh import AssetBank
 
 
 @dataclasses.dataclass

@@ -14,8 +14,6 @@ multiply-by-mask with a renormalized mean so shapes stay static under jit.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -11,10 +11,9 @@ sharding IS the context-parallelism analog here, no halo needed).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from snerf_tpu.ops.rays import Rays, pad_rays

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from snerf_tpu.data import sampler
-from snerf_tpu.models.mipnerf import MipNerfConfig, MipNerfModel
+from snerf_tpu.models.mipnerf import MipNerfModel
 from snerf_tpu.models.posenet import LearnPose
 from snerf_tpu.ops import math as smath
 from snerf_tpu.train import losses as L

@@ -15,7 +15,7 @@ SURVEY §2.5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.struct
 import jax

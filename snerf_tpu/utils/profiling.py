@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
-
 
 class Timing:
   """Wall-clock context timer (parity: zipnerf internal/utils.py:11-31)."""
