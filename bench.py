@@ -16,9 +16,14 @@ A100-class GPUs, we take the optimistic end).
 """
 
 import json
+import os
 import time
 
 A100_REF_RAYS_PER_SEC = 25_000.0
+
+# BENCH_TINY=1 shrinks everything so the script smoke-tests on CPU in
+# seconds (used by tests; the reported number is then meaningless).
+TINY = os.environ.get("BENCH_TINY") == "1"
 
 
 def main():
@@ -31,16 +36,18 @@ def main():
   from snerf_tpu.train.trainer import (
       TrainConfig, create_train_state, make_train_step)
 
-  scene = make_synthetic_scene(num_images=6, H=96, W=128)
+  scene = make_synthetic_scene(num_images=6, H=24 if TINY else 96,
+                               W=32 if TINY else 128)
   dev = scene_to_device(scene)
 
-  mcfg = MipNerfConfig(num_samples=128, num_fine=128, hidden_layer=1024,
-                       rgb_layer=3, proposal_hidden_layer=256,
-                       no_warp_sample=False, warp_fn=1,
-                       t_transform="log", density_noise=0.0,
-                       compute_dtype=jax.numpy.bfloat16)
-  n_rgb = 4096
-  while n_rgb >= 512:
+  mcfg = MipNerfConfig(
+      num_samples=8 if TINY else 128, num_fine=8 if TINY else 128,
+      hidden_layer=16 if TINY else 1024, rgb_layer=1 if TINY else 3,
+      proposal_hidden_layer=16 if TINY else 256,
+      no_warp_sample=False, warp_fn=1, t_transform="log",
+      density_noise=0.0, compute_dtype=jax.numpy.bfloat16)
+  n_rgb = 64 if TINY else 4096
+  while n_rgb >= (16 if TINY else 512):
     try:
       tcfg = TrainConfig(n_rgb=n_rgb, depth_loss=True, proposal_loss=True)
       # Initialize on the CPU backend: param init only needs shapes, and

@@ -175,3 +175,21 @@ def test_cli_resume_continues_training(tmp_path):
   # second invocation resumes from 20 and trains to 40
   T.main(args + ["--N_iters", "40"])
   assert C.latest_step(ckpt_dir) == 40
+
+
+def test_bench_smoke_tiny(capsys):
+  """bench.py end-to-end in tiny mode (protects the driver-critical
+  script from regressions)."""
+  import json as _json
+  os.environ["BENCH_TINY"] = "1"
+  try:
+    import importlib
+    import bench
+    importlib.reload(bench)
+    bench.main()
+  finally:
+    os.environ.pop("BENCH_TINY", None)
+  line = capsys.readouterr().out.strip().splitlines()[-1]
+  rec = _json.loads(line)
+  assert rec["metric"] == "train_rays_per_sec"
+  assert rec["value"] > 0
