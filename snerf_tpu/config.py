@@ -118,6 +118,12 @@ class Config:
   zip_num_nerf_samples: int = 32
   zip_glo_features: int = 0
   zip_encoder: str = "hash"       # hash (parity) | ipe (TPU-fast)
+  zip_sample_n: int = 7
+  zip_grid_num_levels: int = 10
+  zip_log2_hashmap_size: int = 21
+  zip_bottleneck_width: int = 256
+  zip_prop_grid_resolutions: Any = (512, 2048)
+  zip_nerf_grid_resolution: int = 8192
   anti_interlevel_loss_mult: float = 0.01
   distortion_loss_mult: float = 0.005
   hash_decay_mult: float = 0.1
@@ -188,6 +194,13 @@ class Config:
         num_levels=len(tuple(self.zip_num_prop_samples)) + 1,
         num_glo_features=self.zip_glo_features,
         encoder_type=self.zip_encoder,
+        sample_n=self.zip_sample_n,
+        grid_num_levels=self.zip_grid_num_levels,
+        grid_log2_hashmap_size=self.zip_log2_hashmap_size,
+        bottleneck_width=self.zip_bottleneck_width,
+        net_width_viewdirs=min(self.zip_bottleneck_width, 256),
+        prop_grid_resolutions=tuple(self.zip_prop_grid_resolutions),
+        nerf_grid_resolution=self.zip_nerf_grid_resolution,
         use_semantic=self.semantic, class_num=self.semantic_class_num)
 
   def zip_train_config(self):

@@ -76,7 +76,14 @@ def rays_for_image(c2w, intrinsic, H: int, W: int, near, far, app=None,
     ys = jnp.arange(H, dtype=jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
   py, px = jnp.meshgrid(ys, xs, indexing="ij")
-  return pixels_to_rays(px, py, c2w, intrinsic, near, far, app=app)
+  rays = pixels_to_rays(px, py, c2w, intrinsic, near, far, app=app)
+  if render_factor:
+    # Each downscaled pixel covers factor^2 original pixels; widen the mip
+    # base radius to match the pixel area actually integrated (the
+    # reference scales focal/H/W together for render_factor).
+    scale = ((H / H2) + (W / W2)) / 2.0
+    rays = rays.replace(radii=rays.radii * scale)
+  return rays
 
 
 def rays_for_panorama(c2w, H: int, W: int, near, far, app=None):

@@ -143,8 +143,13 @@ class HashEncoding(nn.Module):
   @property
   def grid_sizes(self):
     """Per-level grid scale factors, for the zip-nerf erf downweighting
-    (models.py:500-502 uses encoder.grid_sizes)."""
-    return np.array(self.spec.resolutions, np.float32)
+    (models.py:500-502 uses encoder.grid_sizes).
+
+    Reference grid.py stores ceil(base*scale^l) + 1 for align_corners=False;
+    spec.resolutions is ceil(base*scale^l - 1) + 1 (the stride base), exactly
+    one smaller per level, so add 1 here to match the erf prefilter weights.
+    """
+    return np.array(self.spec.resolutions, np.float32) + 1.0
 
 
 def hash_decay_loss(table, spec: GridSpec, weight: float = 0.1):

@@ -103,7 +103,12 @@ def sample_pdf(key, bins, weights, num_samples: int, det: bool = False):
   weights = weights + 1e-5
   pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
   cdf = jnp.cumsum(pdf, axis=-1)
-  cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+  # Pin the final entry to exactly 1.0: the f32 cumsum can land below
+  # 1 - eps, violating bracket()'s u < cdf[..., -1] precondition (the
+  # explicit ones column mirrors sorted_piecewise_constant_pdf).
+  cdf = jnp.concatenate(
+      [jnp.zeros_like(cdf[..., :1]), cdf[..., :-1],
+       jnp.ones_like(cdf[..., :1])], axis=-1)
 
   f32_eps = jnp.finfo(jnp.float32).eps
   if det or key is None:

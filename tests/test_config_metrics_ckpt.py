@@ -177,6 +177,31 @@ def test_cli_resume_continues_training(tmp_path):
   assert C.latest_step(ckpt_dir) == 40
 
 
+def test_cli_zip_resume_multidevice(tmp_path):
+  """Resuming zip-nerf training on a multi-device mesh: the restored state
+  must be replicated over the mesh before the sharded step (the mipnerf
+  path had this bug first; ADVICE r1 found the zip path shared it)."""
+  import train as T
+  base = str(tmp_path)
+  args = ["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--model", "zipnerf", "--expname", "zip_resume",
+          "--i_weights", "4", "--i_print", "4",
+          "--zip_batch_size", "16", "--zip_encoder", "ipe",
+          "--zip_num_prop_samples", "(4,4)", "--zip_num_nerf_samples", "4",
+          "--zip_sample_n", "2", "--zip_grid_num_levels", "3",
+          "--zip_log2_hashmap_size", "10", "--zip_bottleneck_width", "16",
+          "--zip_prop_grid_resolutions", "(32,64)",
+          "--zip_nerf_grid_resolution", "128"]
+  T.main(args + ["--zip_max_steps", "4"])
+  ckpt_dir = os.path.join(base, "zip_resume", "checkpoints")
+  from snerf_tpu.train import checkpoints as C
+  assert C.latest_step(ckpt_dir) == 4
+  # second invocation restores onto device 0 and must replicate over the
+  # 8-device mesh before stepping
+  T.main(args + ["--zip_max_steps", "8"])
+  assert C.latest_step(ckpt_dir) == 8
+
+
 def test_bench_smoke_tiny(capsys):
   """bench.py end-to-end in tiny mode (protects the driver-critical
   script from regressions)."""

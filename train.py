@@ -231,6 +231,11 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
       print(f"resumed from step {start_step}")
 
   mesh = make_mesh() if len(jax.devices()) > 1 else None
+  if mesh is not None and start_step > 0:
+    # orbax restores onto device 0; replicate over the mesh so the
+    # sharded step accepts it (same fix as the mipnerf path above)
+    from snerf_tpu.parallel import replicate_sharding
+    state = jax.device_put(state, replicate_sharding(mesh))
   ctx = mesh or _nullcontext()
   with ctx:
     step_fn = make_zip_train_step(model, mcfg, tcfg, dev_scene,
