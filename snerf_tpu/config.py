@@ -124,6 +124,15 @@ class Config:
   zip_bottleneck_width: int = 256
   zip_prop_grid_resolutions: Any = (512, 2048)
   zip_nerf_grid_resolution: int = 8192
+  # patch-quarter mixed batches + edge-aware smoothness (zipnerf
+  # train.py:281-296, datasets.py:397-414); patch_size 1 = off (the
+  # reference default; its shipped gin never raises it).
+  zip_patch_size: int = 1
+  zip_smoothness_loss_mult: float = 0.001
+  zip_semantic_smoothness_loss_mult: float = 0.001
+  # Mixed precision (reference AMP autocast, train.py:216-226): bf16 MXU
+  # trunk, f32 heads/compositing. "float32" disables.
+  zip_compute_dtype: str = "bfloat16"
   anti_interlevel_loss_mult: float = 0.01
   distortion_loss_mult: float = 0.005
   hash_decay_mult: float = 0.1
@@ -187,8 +196,11 @@ class Config:
         use_skymask_conf=self.skymask)
 
   def zip_model_config(self):
+    import jax.numpy as jnp
     from snerf_tpu.models.zipnerf import ZipNerfConfig
     return ZipNerfConfig(
+        compute_dtype=(jnp.bfloat16 if self.zip_compute_dtype
+                       in ("bfloat16", "bf16") else jnp.float32),
         num_prop_samples=tuple(self.zip_num_prop_samples),
         num_nerf_samples=self.zip_num_nerf_samples,
         num_levels=len(tuple(self.zip_num_prop_samples)) + 1,
@@ -213,8 +225,13 @@ class Config:
         distortion_loss_mult=self.distortion_loss_mult,
         hash_decay_mult=self.hash_decay_mult,
         depth_loss_mult=self.zip_depth_loss_mult,
+        depth_complete=(self.dataset_type == "waymo"),
         semantic_loss_mult=self.zip_semantic_loss_mult if self.semantic
         else 0.0,
+        patch_size=self.zip_patch_size,
+        smoothness_loss_mult=self.zip_smoothness_loss_mult,
+        semantic_smoothness_loss_mult=(
+            self.zip_semantic_smoothness_loss_mult),
         randomized=self.randomized)
 
   def conf_modes(self):

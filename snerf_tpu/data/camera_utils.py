@@ -218,3 +218,64 @@ def add_noise_to_pose(pose, dx, dy, dz, dx_theta, dy_theta,
   y_rot = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
   pose[:3, :3] = pose[:3, :3] @ y_rot @ x_rot
   return pose.astype(np.float32)
+
+
+# ----------------------- lens distortion models ---------------------------
+# Parity: zipnerf/internal/camera_utils.py:378-446 (OPENCV radial/tangential
+# inverse-distortion Newton iteration + fisheye projection). Implemented
+# with the array module passed in (numpy at dataset build, jax.numpy inside
+# jitted ray generation — the iteration count is static so it jits clean).
+
+
+def _distortion_residual_jacobian(x, y, xd, yd, k1=0.0, k2=0.0, k3=0.0,
+                                  k4=0.0, p1=0.0, p2=0.0, xnp=np):
+  """Residual of the forward OPENCV distortion and its Jacobian at (x, y).
+
+  Forward model: xd = x d(r) + 2 p1 x y + p2 (r + 2 x^2), analogously yd,
+  with r = x^2 + y^2 and d = 1 + k1 r + k2 r^2 + k3 r^3 + k4 r^4.
+  """
+  r = x * x + y * y
+  d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+  fx = d * x + 2 * p1 * x * y + p2 * (r + 2 * x * x) - xd
+  fy = d * y + 2 * p2 * x * y + p1 * (r + 2 * y * y) - yd
+  d_r = k1 + r * (2.0 * k2 + r * (3.0 * k3 + r * 4.0 * k4))
+  d_x = 2.0 * x * d_r
+  d_y = 2.0 * y * d_r
+  fx_x = d + d_x * x + 2.0 * p1 * y + 6.0 * p2 * x
+  fx_y = d_y * x + 2.0 * p1 * x + 2.0 * p2 * y
+  fy_x = d_x * y + 2.0 * p2 * y + 2.0 * p1 * x
+  fy_y = d + d_y * y + 2.0 * p2 * x + 6.0 * p1 * y
+  return fx, fy, fx_x, fx_y, fy_x, fy_y
+
+
+def radial_and_tangential_undistort(xd, yd, k1=0.0, k2=0.0, k3=0.0,
+                                    k4=0.0, p1=0.0, p2=0.0, eps=1e-9,
+                                    max_iterations=10, xnp=np):
+  """Invert the OPENCV distortion: distorted (xd, yd) -> ideal (x, y).
+
+  Newton iteration with a fixed (static) iteration count
+  (camera_utils.py:421-446); xnp = numpy or jax.numpy.
+  """
+  x = xd
+  y = yd
+  for _ in range(max_iterations):
+    fx, fy, fx_x, fx_y, fy_x, fy_y = _distortion_residual_jacobian(
+        x, y, xd, yd, k1=k1, k2=k2, k3=k3, k4=k4, p1=p1, p2=p2, xnp=xnp)
+    denom = fy_x * fx_y - fx_x * fy_y
+    safe = xnp.abs(denom) > eps
+    x = x + xnp.where(safe, (fx * fy_y - fy * fx_y) / denom, 0.0)
+    y = y + xnp.where(safe, (fy * fx_x - fx * fy_x) / denom, 0.0)
+  return x, y
+
+
+def fisheye_to_perspective_dirs(x, y, xnp=np):
+  """Equidistant-fisheye plane coords -> unit camera dirs (OpenCV z-fwd).
+
+  theta = |(x, y)| is the angle from the optical axis
+  (camera_utils.py:513-524)."""
+  theta = xnp.sqrt(x * x + y * y)
+  theta = xnp.minimum(xnp.pi, theta)
+  # sin(theta)/theta -> 1 as theta -> 0
+  s = xnp.where(theta > 1e-8, xnp.sin(theta) / xnp.maximum(theta, 1e-8),
+                1.0)
+  return x * s, y * s, xnp.cos(theta)

@@ -18,35 +18,69 @@ import jax.numpy as jnp
 from snerf_tpu.ops.rays import Rays
 
 
-def camera_dirs_from_pixels(px, py, intrinsic):
-  """Pixel coords -> camera-space dirs. px/py: [...], intrinsic: [..., 3, 3]."""
+def camera_dirs_from_pixels(px, py, intrinsic, distortion_params=None,
+                            camtype: str = "perspective"):
+  """Pixel coords -> camera-space dirs. px/py: [...], intrinsic: [..., 3, 3].
+
+  distortion_params: optional dict of OPENCV coefficients (k1..k4, p1, p2)
+  inverted by Newton iteration; camtype "fisheye" applies the equidistant
+  fisheye model (zipnerf camera_utils.py:378-524 parity).
+  """
+  from snerf_tpu.data import camera_utils
   cx = intrinsic[..., 0, 2]
   cy = intrinsic[..., 1, 2]
-  f = (intrinsic[..., 0, 0] + intrinsic[..., 1, 1]) / 2
-  return jnp.stack([
-      (px - cx + 0.5) / f,
-      -(py - cy + 0.5) / f,
-      -jnp.ones_like(px),
-  ], axis=-1)
+  if distortion_params is None and camtype == "perspective":
+    f = (intrinsic[..., 0, 0] + intrinsic[..., 1, 1]) / 2
+    return jnp.stack([
+        (px - cx + 0.5) / f,
+        -(py - cy + 0.5) / f,
+        -jnp.ones_like(px),
+    ], axis=-1)
+  # OpenCV-convention plane coords (z forward), then flip to [r, u, -t]
+  x = (px + 0.5 - cx) / intrinsic[..., 0, 0]
+  y = (py + 0.5 - cy) / intrinsic[..., 1, 1]
+  if distortion_params:
+    x, y = camera_utils.radial_and_tangential_undistort(
+        x, y, xnp=jnp, **distortion_params)
+  if camtype == "fisheye":
+    x, y, z = camera_utils.fisheye_to_perspective_dirs(x, y, xnp=jnp)
+  else:
+    z = jnp.ones_like(x)
+  return jnp.stack([x, -y, -z], axis=-1)
 
 
 def pixels_to_rays(px, py, c2w, intrinsic, near, far, app=None,
-                   lossmult=None):
+                   lossmult=None, distortion_params=None,
+                   camtype: str = "perspective"):
   """Build a Rays bundle from pixel coords + per-ray camera params.
 
   px, py: [...] float (x = column, y = row); c2w: [..., 3, 4];
   intrinsic: [..., 3, 3]; near/far: scalars or [...].
   """
-  cam_dirs = camera_dirs_from_pixels(px, py, intrinsic)
+  distorted = distortion_params is not None or camtype != "perspective"
+  cam_dirs = camera_dirs_from_pixels(px, py, intrinsic,
+                                     distortion_params, camtype)
   directions = jnp.einsum("...ij,...j->...i", c2w[..., :3, :3], cam_dirs)
   origins = jnp.broadcast_to(c2w[..., :3, 3], directions.shape)
   viewdirs = directions / jnp.linalg.norm(
       directions, axis=-1, keepdims=True)
 
-  f = (intrinsic[..., 0, 0] + intrinsic[..., 1, 1]) / 2
-  # Closed-form mip radius (see module docstring).
-  radii = (1.0 / f * 2.0 / jnp.sqrt(12.0))[..., None]
-  radii = jnp.broadcast_to(radii, directions.shape[:-1] + (1,))
+  if distorted:
+    # neighbor-direction spacing (reference pixels_to_rays
+    # camera_utils.py:493-564): distortion warps the pixel footprint, so
+    # the closed form no longer holds.
+    dx_dirs = camera_dirs_from_pixels(px + 1.0, py, intrinsic,
+                                      distortion_params, camtype)
+    dy_dirs = camera_dirs_from_pixels(px, py + 1.0, intrinsic,
+                                      distortion_params, camtype)
+    dx_norm = jnp.linalg.norm(dx_dirs - cam_dirs, axis=-1)
+    dy_norm = jnp.linalg.norm(dy_dirs - cam_dirs, axis=-1)
+    radii = (0.5 * (dx_norm + dy_norm) * 2.0 / jnp.sqrt(12.0))[..., None]
+  else:
+    f = (intrinsic[..., 0, 0] + intrinsic[..., 1, 1]) / 2
+    # Closed-form mip radius (see module docstring).
+    radii = (1.0 / f * 2.0 / jnp.sqrt(12.0))[..., None]
+    radii = jnp.broadcast_to(radii, directions.shape[:-1] + (1,))
 
   ones = jnp.ones(directions.shape[:-1] + (1,), directions.dtype)
   near = jnp.broadcast_to(jnp.asarray(near, directions.dtype), ones.shape)

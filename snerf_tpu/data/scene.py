@@ -136,6 +136,25 @@ def load_depth_maps(path, H, W, bd_factor=0.75, sky_mask=False):
   return depth, bds, bds_raw, skymask
 
 
+def load_flow(datadir: str) -> Optional[np.ndarray]:
+  """Load the optical-flow side channel: flow/ holds alternating
+  <frame>_next.npy / <frame>_prev.npy files in sorted order (reference
+  load_nuscenes.py:153-167). Returns [2, N, H, W, 2] (next, prev) or None
+  when the directory is absent."""
+  path = os.path.join(datadir, "flow")
+  if not os.path.isdir(path):
+    return None
+  names = sorted(os.listdir(path))
+  if not names:
+    return None
+  next_flows = [np.load(os.path.join(path, n)) for n in names[::2]]
+  prev_flows = [np.load(os.path.join(path, n)) for n in names[1::2]]
+  if not next_flows or len(next_flows) != len(prev_flows):
+    return None
+  return np.stack([np.stack(next_flows),
+                   np.stack(prev_flows)]).astype(np.float32)
+
+
 def load_nuscenes_scene(datadir: str,
                         bd_factor: float = 0.75,
                         cam_num: int = 0,
@@ -211,6 +230,8 @@ def load_nuscenes_scene(datadir: str,
       if 0 <= img_i < N:
         semantics[img_i] = sem_labels[pos]
 
+  flow = load_flow(datadir)
+
   if cam_num:
     cam_index = np.repeat(np.arange(cam_num), N // cam_num).astype(np.int32)
   else:
@@ -231,5 +252,5 @@ def load_nuscenes_scene(datadir: str,
   return Scene(images=images.astype(np.uint8), poses=poses[:, :3, :4],
                intrinsics=K, near=near, far=far, depths=depths,
                skymask=skymask, semantics=semantics, cam_index=cam_index,
-               i_train=i_train, i_test=i_test, scale=sc,
+               flow=flow, i_train=i_train, i_test=i_test, scale=sc,
                render_poses=render_poses)

@@ -92,6 +92,19 @@ def _level_indices(pos_grid, resolution: int, size: int):
   return (h % jnp.uint32(size)).astype(jnp.int32)
 
 
+def hash_encode_level(xf, table, spec: GridSpec, lvl: int):
+  """Trilinear features of ONE level for flat x [N, 3] in [0, 1]^3."""
+  pos = xf * spec.scales[lvl] + 0.5
+  c0 = jnp.floor(pos)
+  frac = pos - c0
+  corners = c0[:, None, :].astype(jnp.int32) + _CORNERS[None]  # [N, 8, 3]
+  idx = _level_indices(corners, spec.resolutions[lvl], spec.sizes[lvl])
+  rows = table[spec.offsets[lvl] + idx]  # [N, 8, C]
+  w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :],
+                1.0 - frac[:, None, :]).prod(-1)  # [N, 8]
+  return jnp.einsum("nc,ncd->nd", w, rows)
+
+
 def hash_encode(x, table, spec: GridSpec):
   """Encode x in [0, 1]^3 -> per-level features.
 
@@ -102,17 +115,8 @@ def hash_encode(x, table, spec: GridSpec):
   xf = x.reshape(-1, 3)
   oob = jnp.any((xf < 0) | (xf > 1), axis=-1)
 
-  feats = []
-  for lvl in range(spec.num_levels):
-    pos = xf * spec.scales[lvl] + 0.5
-    c0 = jnp.floor(pos)
-    frac = pos - c0
-    corners = c0[:, None, :].astype(jnp.int32) + _CORNERS[None]  # [N, 8, 3]
-    idx = _level_indices(corners, spec.resolutions[lvl], spec.sizes[lvl])
-    rows = table[spec.offsets[lvl] + idx]  # [N, 8, C]
-    w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :],
-                  1.0 - frac[:, None, :]).prod(-1)  # [N, 8]
-    feats.append(jnp.einsum("nc,ncd->nd", w, rows))
+  feats = [hash_encode_level(xf, table, spec, lvl)
+           for lvl in range(spec.num_levels)]
   out = jnp.stack(feats, axis=-2)  # [N, L, C]
   out = jnp.where(oob[:, None, None], 0.0, out)
   return out.reshape(*batch_shape, spec.num_levels, spec.level_dim)
@@ -173,13 +177,15 @@ def total_variation_loss(table, spec: GridSpec, key, n_samples: int = 4096,
   """
   x = jax.random.uniform(key, (n_samples, 3))
   eps_axes = jnp.eye(3)
-  f0 = hash_encode(x, table, spec)
   tv = 0.0
-  for d in range(3):
-    # one-cell step per level is 1/scale; use the finest level's step for
-    # all levels (coarser levels see a sub-cell step -> still a valid TV
-    # estimator through interpolation).
-    step = 1.0 / spec.scales[-1]
-    f1 = hash_encode(jnp.clip(x + step * eps_axes[d], 0, 1), table, spec)
-    tv = tv + jnp.mean((f1 - f0) ** 2)
+  for lvl in range(spec.num_levels):
+    # one-cell step PER LEVEL (grid.py:181-201 steps whole cells at each
+    # level's own resolution; a shared finest-level step would give coarse
+    # levels a sub-cell estimator instead)
+    step = 1.0 / spec.scales[lvl]
+    f0 = hash_encode_level(x, table, spec, lvl)
+    for d in range(3):
+      f1 = hash_encode_level(jnp.clip(x + step * eps_axes[d], 0, 1),
+                             table, spec, lvl)
+      tv = tv + jnp.mean((f1 - f0) ** 2)
   return weight * tv

@@ -57,6 +57,10 @@ class MipNerfConfig:
   semantic: bool = False
   semantic_class_num: int = 0
   compute_dtype: Any = jnp.float32
+  # IPE evaluation method: "exact" (reference formulation) or
+  # "double_angle" (same features via the double-angle recursion — the
+  # TPU-fast choice; see ops/mip.py integrated_pos_enc_fast).
+  ipe_method: str = "exact"
 
 
 class MipNerfModel(nn.Module):
@@ -87,7 +91,8 @@ class MipNerfModel(nn.Module):
       if c.disable_integration:
         covs = jnp.zeros_like(covs)
       return mip.integrated_pos_enc(
-          means, covs, c.min_deg_point, c.max_deg_point, diag=True)
+          means, covs, c.min_deg_point, c.max_deg_point, diag=True,
+          method=c.ipe_method)
     # Warped (unbounded) path: s in [0,1] -> metric t -> Gaussian -> warp with
     # Jacobian covariance propagation (reference mip.py:268-395 via sample2enc).
     t_vals = coord.s_to_t(s_or_t_vals, rays.near, rays.far, c.t_transform)
@@ -106,7 +111,8 @@ class MipNerfModel(nn.Module):
     f_means, f_diag = coord.warp_fn2_gaussian_diag(
         means, covs, radius=c.warp_radius)
     return mip.integrated_pos_enc(
-        f_means, f_diag, c.min_deg_point, c.max_deg_point, diag=True)
+        f_means, f_diag, c.min_deg_point, c.max_deg_point, diag=True,
+        method=c.ipe_method)
 
   def __call__(self, rays: Rays, rng: Optional[jax.Array] = None,
                white_bkgd: bool = False, viewc=None):

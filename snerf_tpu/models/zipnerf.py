@@ -88,6 +88,10 @@ class ZipMLP(nn.Module):
 
   def setup(self):
     c = self.cfg
+    # Mixed precision (reference trains under AMP autocast,
+    # train.py:216-226): the MXU trunk runs in compute_dtype (params stay
+    # f32); density/rgb/semantic heads and compositing stay f32.
+    dt = c.compute_dtype
     if c.encoder_type == "hash":
       self.encoder = HashEncoding(
           num_levels=c.grid_num_levels, level_dim=self.grid_level_dim,
@@ -97,19 +101,20 @@ class ZipMLP(nn.Module):
     else:
       self.encoder = None
       self.ipe_layers = [
-          nn.Dense(c.ipe_density_width, name=f"ipe_{i}")
+          nn.Dense(c.ipe_density_width, dtype=dt, name=f"ipe_{i}")
           for i in range(c.ipe_density_depth)]
     out_width = 1 if self.disable_rgb else c.bottleneck_width
-    self.density_hidden = nn.Dense(64, name="density_hidden")
-    self.density_out = nn.Dense(out_width, name="density_out")
+    self.density_hidden = nn.Dense(64, dtype=dt, name="density_hidden")
+    self.density_out = nn.Dense(out_width, dtype=dt, name="density_out")
     if not self.disable_rgb:
       self.view_layers = [
-          nn.Dense(c.net_width_viewdirs, name=f"view_{i}")
+          nn.Dense(c.net_width_viewdirs, dtype=dt, name=f"view_{i}")
           for i in range(c.net_depth_viewdirs)]
-      self.rgb_out = nn.Dense(3, name="rgb_out")
+      self.rgb_out = nn.Dense(3, dtype=jnp.float32, name="rgb_out")
       if c.num_glo_features > 0:
-        self.glo_0 = nn.Dense(128, name="glo_0")
-        self.glo_1 = nn.Dense(c.bottleneck_width * 2, name="glo_1")
+        self.glo_0 = nn.Dense(128, dtype=dt, name="glo_0")
+        self.glo_1 = nn.Dense(c.bottleneck_width * 2, dtype=dt,
+                              name="glo_1")
 
   def predict_density(self, means, stds, rng=None):
     """means [..., n, 3], stds [..., n] -> (raw_density [...], x [..., W]).

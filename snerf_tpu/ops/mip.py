@@ -98,13 +98,48 @@ def cast_rays(t_vals, origins, directions, radii, ray_shape: str = "cone",
   return means + origins[..., None, :], covs
 
 
+def integrated_pos_enc_fast(mean, cov_diag, min_deg: int, max_deg: int):
+  """Double-angle IPE: identical features to integrated_pos_enc(diag=True)
+  computed with 6 transcendentals/sample instead of 2*3*L sins.
+
+  sin/cos at degree j+1 come from degree j via sin(2y) = 2 sin y cos y,
+  cos(2y) = 1 - 2 sin^2 y; the exp(-var/2) downweighting stays exact.
+  Error grows ~2^j * eps_f32 at degree j (~1e-3 relative at deg 16), which
+  is far below the exp(-var/2) attenuation noise floor in training; the
+  hot train path uses this, parity tests pin the exact method.
+  """
+  y = mean * (2.0 ** min_deg)
+  v = cov_diag * (4.0 ** min_deg)
+  s = smath.safe_sin(y)
+  c = smath.safe_cos(y)
+  num_deg = max_deg - min_deg
+  sins, coss, variances = [], [], []
+  for j in range(num_deg):
+    sins.append(s)
+    coss.append(c)
+    variances.append(v)
+    if j < num_deg - 1:
+      s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+      v = 4.0 * v
+  # layout parity with the exact path: [deg0_xyz, deg1_xyz, ...]
+  sin_stack = jnp.stack(sins, axis=-2).reshape(*mean.shape[:-1], -1)
+  cos_stack = jnp.stack(coss, axis=-2).reshape(*mean.shape[:-1], -1)
+  var_stack = jnp.stack(variances, axis=-2).reshape(*mean.shape[:-1], -1)
+  w = jnp.exp(-0.5 * var_stack)
+  return jnp.concatenate([w * sin_stack, w * cos_stack], axis=-1)
+
+
 def integrated_pos_enc(mean, cov, min_deg: int, max_deg: int,
-                       diag: bool = True):
+                       diag: bool = True, method: str = "exact"):
   """Integrated positional encoding of Gaussians (mean, cov).
 
   diag=True: cov is [..., 3] diagonal; else full [..., 3, 3].
+  method="double_angle" (diag only) computes the same features via the
+  double-angle recursion (see integrated_pos_enc_fast).
   Returns [..., 2*3*(max_deg-min_deg)] expected-sin features.
   """
+  if method == "double_angle" and diag:
+    return integrated_pos_enc_fast(mean, cov, min_deg, max_deg)
   scales = 2.0 ** np.arange(min_deg, max_deg, dtype=np.float32)
   if diag:
     y = (mean[..., None, :] * scales[:, None]).reshape(*mean.shape[:-1], -1)

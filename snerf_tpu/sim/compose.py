@@ -48,25 +48,83 @@ def render_instance(inst: Instance, w2c, K, hw):
   return rgb, depth, mask
 
 
-def occlusion_order(instances: List[Instance], w2c, K, hw):
-  """Back-to-front paint order via per-instance camera distance raycast
-  (utils_render.py:691-824: a single ray at the mask-intersection
-  centroid decides pairwise order; here the closest-hit distance of each
-  instance along its centroid ray gives a total order — identical result
-  for non-interpenetrating instances, O(n) instead of O(n^2))."""
-  c2w = np.linalg.inv(_pad44(w2c))
-  ray_o = c2w[:3, 3]
+def _centroid_distance_order(instances: List[Instance], ray_o):
+  """Far-first order by raycast distance to each instance centroid — the
+  tie-breaker / cycle fallback (also the reference's own abandoned
+  fallback, utils_render.py:816-824)."""
   dists = []
   for inst in instances:
     vw = inst.world_verts()
     center = vw.mean(0)
     d = center - ray_o
     d = d / (np.linalg.norm(d) + 1e-12)
-    t, tri = native.raycast(vw, inst.faces, ray_o[None].astype(np.float32),
-                            d[None].astype(np.float32))
+    t, _ = native.raycast(vw, inst.faces, ray_o[None].astype(np.float32),
+                          d[None].astype(np.float32))
     dists.append(float(t[0]) if np.isfinite(t[0])
                  else float(np.linalg.norm(center - ray_o)))
-  return list(np.argsort(dists)[::-1])  # far first (painted first)
+  return list(np.argsort(dists)[::-1])
+
+
+def occlusion_order(instances: List[Instance], w2c, K, hw):
+  """Back-to-front paint order, exact pairwise raycast decision.
+
+  Parity: utils_render.py:691-824 (occlution_order) — rasterize each
+  instance's mask; for every pair with overlapping masks cast ONE ray
+  through the mask-intersection centroid, compare first-hit distances to
+  decide who occludes whom; topological-sort the DAG so occluders paint
+  last. Pairs without overlap impose no constraint. A cycle (mutually
+  interpenetrating instances; the reference raises) degrades to the
+  centroid-distance order.
+  """
+  n = len(instances)
+  if n <= 1:
+    return list(range(n))
+  c2w = np.linalg.inv(_pad44(w2c))
+  ray_o = c2w[:3, 3].astype(np.float32)
+  Kinv = np.linalg.inv(np.asarray(K, np.float64))
+
+  masks, worlds = [], []
+  for inst in instances:
+    _, _, mask = render_instance(inst, w2c, K, hw)
+    masks.append(mask)
+    worlds.append(inst.world_verts().astype(np.float32))
+
+  def first_hit(i, d):
+    t, _ = native.raycast(worlds[i], instances[i].faces, ray_o[None],
+                          d[None].astype(np.float32))
+    if np.isfinite(t[0]):
+      return float(t[0])
+    return float(np.linalg.norm(worlds[i].mean(0) - ray_o))
+
+  # adjacency: adj[i, j] = 1 means i must be painted before j
+  adj = np.zeros((n, n), np.uint8)
+  for i in range(n):
+    for j in range(i + 1, n):
+      inter = masks[i] & masks[j]
+      if not inter.any():
+        continue
+      ys, xs = np.nonzero(inter)
+      pix = np.array([xs.mean(), ys.mean(), 1.0])
+      d = c2w[:3, :3] @ (Kinv @ pix)   # +z-forward pinhole (native.py:63)
+      d = (d / np.linalg.norm(d)).astype(np.float32)
+      if first_hit(i, d) < first_hit(j, d):
+        adj[j, i] = 1                  # i occludes j -> j paints first
+      else:
+        adj[i, j] = 1
+
+  # topological sort (utils_render.py:794-807): repeatedly emit the
+  # lowest-index node with no unpainted predecessor
+  order = []
+  emitted = np.zeros(n, bool)
+  while len(order) < n:
+    for i in range(n):
+      if not emitted[i] and not adj[~emitted][:, i].any():
+        order.append(i)
+        emitted[i] = True
+        break
+    else:
+      return _centroid_distance_order(instances, ray_o)  # cycle
+  return order
 
 
 def handle_lighting(fg_rgb, bg_rgb, mask, strength: float = 0.5):
@@ -110,6 +168,31 @@ _CATEGORY_KITTI = {"vehicle": "Car", "person": "Pedestrian",
                    "object": "Object"}
 
 
+def projected_truncation(inst: Instance, w2c, K, hw) -> float:
+  """KITTI truncation = fraction of the projected (pre-clip) 2D bbox that
+  falls outside the frame. Computed from the full mesh projection (the
+  rasterized mask is already clipped, so it cannot express truncation;
+  the reference leaves the field at 0 — utils_render.py:616)."""
+  H, W = hw
+  vw = inst.world_verts()
+  vc = vw @ np.asarray(w2c)[:3, :3].T + np.asarray(w2c)[:3, 3]
+  z = vc[:, 2]
+  in_front = z > 1e-6
+  if not in_front.any():
+    return 1.0
+  Km = np.asarray(K, np.float64)
+  x = Km[0, 0] * vc[in_front, 0] / z[in_front] + Km[0, 2]
+  y = Km[1, 1] * vc[in_front, 1] / z[in_front] + Km[1, 2]
+  x0, x1 = float(x.min()), float(x.max())
+  y0, y1 = float(y.min()), float(y.max())
+  full = max(x1 - x0, 1e-9) * max(y1 - y0, 1e-9)
+  cx0, cx1 = np.clip([x0, x1], 0, W - 1)
+  cy0, cy1 = np.clip([y0, y1], 0, H - 1)
+  clipped = max(cx1 - cx0, 0.0) * max(cy1 - cy0, 0.0)
+  frac_behind = 1.0 - in_front.mean()   # verts behind the camera
+  return float(np.clip(1.0 - clipped / full + frac_behind, 0.0, 1.0))
+
+
 def bbox_result(inst: Instance, w2c, K, hw, mask, occlusion_per: float):
   """KITTI-format detection dict (get_bbox_result parity)."""
   H, W = hw
@@ -120,10 +203,7 @@ def bbox_result(inst: Instance, w2c, K, hw, mask, occlusion_per: float):
   else:
     xmin, xmax = int(xs.min()), int(xs.max())
     ymin, ymax = int(ys.min()), int(ys.max())
-    # truncation: fraction of the projected bbox clipped by the frame
-    touches = (xmin == 0) + (ymin == 0) + (xmax == W - 1) + \
-        (ymax == H - 1)
-    truncated = min(touches * 0.25, 1.0)
+    truncated = projected_truncation(inst, w2c, K, hw)
 
   center_h = np.concatenate([inst.position, [1.0]])
   pos_cam = (_pad44(w2c) @ center_h)[:3]

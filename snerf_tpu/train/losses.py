@@ -97,6 +97,61 @@ def edge_aware_smooth_loss(rgb_patches, distance_patches, skymask=None,
   return weight * (grad_x.mean() + grad_y.mean())
 
 
+def _edge_aware_masked(rgb_patches, grad_x, grad_y, valid_mask=None):
+  """Shared core of the zip patch smoothness losses: |grad| maps weighted
+  by exp(-|grad rgb|), masked-meaned over pairs whose BOTH endpoints are
+  valid (reference train_utils.py:308-315 mask path)."""
+  rgb_gx = jnp.mean(jnp.abs(rgb_patches[:, :, :-1] - rgb_patches[:, :, 1:]),
+                    axis=3, keepdims=True)
+  rgb_gy = jnp.mean(jnp.abs(rgb_patches[:, :-1] - rgb_patches[:, 1:]),
+                    axis=3, keepdims=True)
+  sx = grad_x * jnp.exp(-rgb_gx)
+  sy = grad_y * jnp.exp(-rgb_gy)
+  if valid_mask is None:
+    return sx.mean() + sy.mean()
+  m = valid_mask.astype(sx.dtype)
+  mx = (m[:, :, :-1] * m[:, :, 1:])[..., None]
+  my = (m[:, :-1] * m[:, 1:])[..., None]
+  return (masked_mean(sx, jnp.broadcast_to(mx, sx.shape) > 0) +
+          masked_mean(sy, jnp.broadcast_to(my, sy.shape) > 0))
+
+
+def zip_smooth_loss(rgb_patches, depth_patches, valid_mask=None,
+                    weight: float = 1.0):
+  """zip-nerf edge-aware inverse-depth patch smoothness.
+
+  Parity: zipnerf train.py:281-293 (disp = 1/(depth+1e-5), patch-mean
+  normalized) + train_utils.py:297-335 edge_aware_loss_v2 with the
+  object-mask path (masked pixels excluded from both gradient endpoints).
+  """
+  disp = 1.0 / (depth_patches + 1e-5)
+  if disp.ndim == 3:
+    disp = disp[..., None]
+  mean_disp = disp.mean(axis=(1, 2), keepdims=True)
+  disp = disp / (mean_disp + 1e-7)
+  grad_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+  grad_y = jnp.abs(disp[:, :-1] - disp[:, 1:])
+  return weight * _edge_aware_masked(rgb_patches, grad_x, grad_y, valid_mask)
+
+
+def zip_semantic_smooth_loss(rgb_patches, semantic_patches, valid_mask=None,
+                             weight: float = 1.0):
+  """zip-nerf edge-aware semantic patch smoothness.
+
+  Parity: train_utils.py:337-377 edge_aware_loss_for_semantic — semantic
+  probabilities normalized by the patch mean, channel gradients summed to
+  one map, then the same edge-aware masked mean.
+  """
+  sem = semantic_patches / (semantic_patches.mean(axis=(1, 2),
+                                                  keepdims=True) + 1e-5)
+  # channel-summed gradient magnitude (train_utils.py:347-350)
+  grad_x = jnp.sum(jnp.abs(sem[:, :, :-1] - sem[:, :, 1:]), axis=-1,
+                   keepdims=True)
+  grad_y = jnp.sum(jnp.abs(sem[:, :-1] - sem[:, 1:]), axis=-1,
+                   keepdims=True)
+  return weight * _edge_aware_masked(rgb_patches, grad_x, grad_y, valid_mask)
+
+
 def proposal_loss(s_vals_f, weights_f, s_vals_c, weights_c,
                   weight: float = 1.0):
   """mip-360 interlevel bound: fine weights must fit under the coarse

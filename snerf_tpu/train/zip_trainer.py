@@ -52,7 +52,17 @@ class ZipTrainConfig:
   distortion_loss_mult: float = 0.005
   hash_decay_mult: float = 0.1
   depth_loss_mult: float = 0.0       # inverse-depth loss (train.py:255-258)
+  # Waymo depth-completion loss on masked (object) pixels
+  # (train.py:262-273): |1/d - 1/gt| on depth>0 & mask, x depth_loss_mult
+  # x 0.2. Enabled by the waymo dataset path.
+  depth_complete: bool = False
   semantic_loss_mult: float = 0.04   # NLL x 0.04 (train.py:299-303)
+  # patch-quarter mixed batches (datasets.py:397-414): when patch_size > 1,
+  # a quarter of the batch is ps x ps patches used ONLY by the smoothness
+  # losses below (and excluded from data/depth/semantic losses).
+  patch_size: int = 1
+  smoothness_loss_mult: float = 0.001           # smo_lam (train.py:283)
+  semantic_smoothness_loss_mult: float = 0.001  # s_lam (train.py:284)
   single_image: bool = False         # zipnerf samples across all images
   randomized: bool = True
   # posenet warmup window (zipnerf train.py:177-214: refine poses with a
@@ -144,7 +154,14 @@ def make_zip_train_step(model: ZipNerfModel,
     pose_tx = optax.sgd(cfg.pose_lr)
   init_poses = device_scene["poses"]
 
-  def loss_fn(params, pose_params, key, train_frac):
+  # patch-quarter mixed batches (datasets.py:397-414): ~1/4 of the rays are
+  # ps x ps patches, appended after the random pixels.
+  ps = cfg.patch_size
+  n_patches = (cfg.batch_size // 4) // (ps * ps) if ps > 1 else 0
+  n_patch_rays = n_patches * ps * ps
+  n_pix = cfg.batch_size - n_patch_rays
+
+  def loss_fn(params, pose_params, key, train_frac, depth_on):
     k_sample, k_model = jax.random.split(key)
     pose_table = init_poses
     if pose_model is not None:
@@ -152,8 +169,9 @@ def make_zip_train_step(model: ZipNerfModel,
           {"params": pose_params},
           jnp.arange(init_poses.shape[0]), init_poses)
     rays, targets = sampler.sample_batch(
-        k_sample, device_scene, i_train, cfg.batch_size, near, far,
-        single_image=cfg.single_image, use_pose_table=pose_table)
+        k_sample, device_scene, i_train, n_pix, near, far,
+        single_image=cfg.single_image, n_patches=n_patches,
+        patch_size=ps, use_pose_table=pose_table)
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       sh = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -167,19 +185,21 @@ def make_zip_train_step(model: ZipNerfModel,
         train_frac=train_frac)
     final = renderings[-1]
 
-    # Waymo object/padding masks gate the data loss (zipnerf
-    # train.py:232-240 mask logic: masked pixels excluded).
-    data_mask = None
-    if "skymask" in targets:
-      data_mask = ~targets["skymask"]
+    # mask_rgb logic (zipnerf train.py:231-249): the data/depth/semantic
+    # losses exclude object-masked pixels AND the patch quarter; patches
+    # feed only the smoothness losses.
+    total_rays = n_pix + n_patch_rays
+    pix_part = jnp.arange(total_rays) < n_pix
+    objmask = targets.get("skymask")  # True = masked (object / padding)
+    mask_rgb = pix_part if objmask is None else (pix_part & ~objmask)
     data = L.charbonnier_loss(final["rgb"], targets["rgb"],
-                              mask=(data_mask[..., None]
-                                    if data_mask is not None else None),
+                              mask=mask_rgb[..., None],
                               padding=cfg.charb_padding)
     total = cfg.data_loss_mult * data
     metrics = {"loss_data": data,
-               "psnr": smath.mse_to_psnr(
-                   jnp.mean((final["rgb"] - targets["rgb"]) ** 2))}
+               "psnr": smath.mse_to_psnr(L.masked_mean(
+                   (final["rgb"] - targets["rgb"]) ** 2,
+                   mask_rgb[..., None]))}
 
     # anti-aliased interlevel (train_utils.py:132-164)
     if cfg.anti_interlevel_loss_mult > 0:
@@ -212,39 +232,83 @@ def make_zip_train_step(model: ZipNerfModel,
       metrics["loss_hash_decay"] = hd
 
     if cfg.depth_loss_mult > 0 and "depth" in targets:
-      # inverse-depth L1 (zipnerf train.py:255-258,276-278)
+      # inverse-depth L1 (zipnerf train.py:255-258,276-278); gated off
+      # inside the pose-refine window (train.py:256 dep_lam = 0), masked
+      # to unpatched, unmasked pixels with valid depth.
       eps = 1e-5
       err = jnp.abs(1.0 / (final["depth"] + eps) -
                     1.0 / (targets["depth"] + eps))
-      dl = L.masked_mean(err, targets["depth"] > 0)
-      total = total + cfg.depth_loss_mult * dl
+      dl = L.masked_mean(err, (targets["depth"] > 0) & mask_rgb)
+      total = total + cfg.depth_loss_mult * depth_on * dl
       metrics["loss_depth"] = dl
+
+      if cfg.depth_complete and objmask is not None:
+        # Waymo depth-completion on masked objects (train.py:262-273):
+        # depth>0 & mask & not-patch, x dep_lam x 0.2.
+        com_mask = (targets["depth"] > 0) & objmask & pix_part
+        dcl = L.masked_mean(err, com_mask)
+        total = total + cfg.depth_loss_mult * 0.2 * dcl
+        metrics["loss_depth_complete"] = dcl
 
     if cfg.semantic_loss_mult > 0 and "semantic" in targets and \
         final.get("semantic") is not None:
-      # NLL on composited softmax probabilities (train.py:299-303);
-      # labels < 0 (unlabeled images) masked out
+      # NLL on composited softmax probabilities (train.py:299-303) over
+      # mask_rgb (sem_mask = mask_rgb, train.py:300); labels < 0
+      # (unlabeled images) also masked out
       probs = jnp.clip(final["semantic"], 1e-6, 1.0)
       lab = targets["semantic"].astype(jnp.int32)
-      labeled = lab >= 0
+      labeled = (lab >= 0) & mask_rgb
       nll = -jnp.log(jnp.take_along_axis(
           probs, jnp.maximum(lab, 0)[..., None], axis=-1))[..., 0]
       sl = cfg.semantic_loss_mult * L.masked_mean(nll, labeled)
       total = total + sl
       metrics["loss_semantic"] = sl
 
+    if n_patches > 0:
+      # edge-aware patch smoothness (train.py:281-296): inverse-depth and
+      # semantic maps, on the patch quarter, masked pixels excluded.
+      pshape = (n_patches, ps, ps)
+      rgb_p = targets["rgb"][n_pix:].reshape(*pshape, 3)
+      valid_p = None
+      if objmask is not None:
+        valid_p = (~objmask[n_pix:]).reshape(pshape)
+      if cfg.smoothness_loss_mult > 0:
+        dep_p = final["depth"][n_pix:].reshape(pshape)
+        sm = L.zip_smooth_loss(rgb_p, dep_p, valid_p,
+                               weight=cfg.smoothness_loss_mult)
+        sm = jnp.nan_to_num(sm)
+        total = total + sm
+        metrics["loss_smooth"] = sm
+      if (cfg.semantic_smoothness_loss_mult > 0 and
+          final.get("semantic") is not None):
+        sem_p = final["semantic"][n_pix:].reshape(
+            *pshape, final["semantic"].shape[-1])
+        ssm = L.zip_semantic_smooth_loss(
+            rgb_p, sem_p, valid_p,
+            weight=cfg.semantic_smoothness_loss_mult)
+        ssm = jnp.nan_to_num(ssm)
+        total = total + ssm
+        metrics["loss_semantic_smooth"] = ssm
+
     metrics["loss"] = total
     return total, metrics
 
   def train_step(state: ZipTrainState, key):
     train_frac = jnp.clip(state.step / cfg.max_steps, 0.0, 1.0)
+    # the inverse-depth loss is disabled inside the pose-refine window
+    # (train.py:256: dep_lam = 0 while refining poses)
+    depth_on = 1.0
+    if cfg.pose_refine:
+      in_window = ((state.step > cfg.pose_start_step) &
+                   (state.step < cfg.pose_end_step))
+      depth_on = 1.0 - in_window.astype(jnp.float32)
     if pose_model is not None:
       (_, metrics), (grads, pose_grads) = jax.value_and_grad(
           loss_fn, argnums=(0, 1), has_aux=True)(
-              state.params, state.pose_params, key, train_frac)
+              state.params, state.pose_params, key, train_frac, depth_on)
     else:
       (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-          state.params, state.pose_params, key, train_frac)
+          state.params, state.pose_params, key, train_frac, depth_on)
       pose_grads = None
     grads = smath.clip_gradients(
         grads,

@@ -102,3 +102,17 @@ def test_ipe_zero_cov_matches_pos_enc():
   e = mip.integrated_pos_enc(mean, jnp.zeros_like(mean), 0, 2, diag=True)
   pe = mip.pos_enc(mean, 0, 2, append_identity=False)
   np.testing.assert_allclose(e, pe, atol=1e-6)
+
+
+def test_ipe_double_angle_matches_exact():
+  """integrated_pos_enc(method='double_angle') tracks the exact path to
+  f32 tolerance over warped and metric coordinate ranges."""
+  import jax
+  key = jax.random.PRNGKey(0)
+  for scale in (2.5, 50.0):
+    mean = jax.random.normal(key, (256, 3)) * scale
+    cov = jax.random.uniform(jax.random.PRNGKey(1), (256, 3)) * 0.3
+    a = mip.integrated_pos_enc(mean, cov, 0, 16, diag=True)
+    b = mip.integrated_pos_enc(mean, cov, 0, 16, diag=True,
+                               method="double_angle")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -77,6 +77,86 @@ def test_zip_pose_refine_window():
   assert np.isfinite(float(m["loss"]))
 
 
+def test_zip_patch_quarter_batches_and_smoothness():
+  """patch_size > 1 turns on the patch-quarter mixed batch and both
+  edge-aware smoothness losses (zipnerf train.py:281-296,
+  datasets.py:397-414); object-masked pixels are excluded."""
+  scene = make_synthetic_scene(num_images=6, H=16, W=16, datahold=6)
+  sem = np.clip((scene.depths / scene.far * 4).astype(np.int32), 0, 4)
+  scene.semantics = sem
+  # object mask on a corner of every image
+  mask = np.zeros(scene.images.shape[:3], bool)
+  mask[:, :4, :4] = True
+  scene.skymask = mask
+  dev = scene_to_device(scene)
+  mcfg = ZipNerfConfig(use_semantic=True, class_num=5, **TINY_MODEL)
+  tcfg = ZipTrainConfig(batch_size=128, max_steps=100, lr_delay_steps=0,
+                        patch_size=4, depth_loss_mult=0.01,
+                        depth_complete=True)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=False)
+  key = jax.random.PRNGKey(1)
+  losses = []
+  for _ in range(12):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+    losses.append(float(m["loss"]))
+  for k_ in ("loss_smooth", "loss_semantic_smooth", "loss_depth",
+             "loss_depth_complete", "loss_semantic", "loss_data"):
+    assert k_ in m and np.isfinite(float(m[k_])), k_
+  assert np.isfinite(losses).all()
+  assert losses[-1] < losses[0]
+
+
+def test_zip_smoothness_losses_prefer_smooth_patches():
+  """zip_smooth_loss penalizes rough depth; masked pixels are ignored."""
+  from snerf_tpu.train import losses as L
+  key = jax.random.PRNGKey(0)
+  rgb = jnp.ones((2, 8, 8, 3)) * 0.5           # uniform rgb -> full penalty
+  smooth_depth = jnp.ones((2, 8, 8)) * 5.0
+  rough_depth = 5.0 + jax.random.uniform(key, (2, 8, 8)) * 4.0
+  ls = float(L.zip_smooth_loss(rgb, smooth_depth))
+  lr = float(L.zip_smooth_loss(rgb, rough_depth))
+  assert ls < 1e-6 < lr
+  # mask out the rough half -> loss drops
+  m = jnp.ones((2, 8, 8)).at[:, :, 4:].set(0.0)
+  rough_half = smooth_depth.at[:, :, 4:].set(rough_depth[:, :, 4:])
+  lm = float(L.zip_smooth_loss(rgb, rough_half, valid_mask=m))
+  lf = float(L.zip_smooth_loss(rgb, rough_half))
+  assert lm < lf
+  # semantic variant: uniform probs smooth, one-hot checkerboard rough
+  sem_smooth = jnp.ones((2, 8, 8, 4)) * 0.25
+  chk = (jnp.arange(8)[:, None] + jnp.arange(8)[None]) % 2
+  sem_rough = jax.nn.one_hot(
+      jnp.broadcast_to(chk, (2, 8, 8)), 4)
+  ss = float(L.zip_semantic_smooth_loss(rgb, sem_smooth))
+  sr = float(L.zip_semantic_smooth_loss(rgb, sem_rough))
+  assert ss < 1e-6 < sr
+
+
+def test_zip_bf16_trunk_matches_f32():
+  """compute_dtype=bf16 (reference AMP parity) must track the f32 model
+  within mixed-precision tolerance on the same params."""
+  from snerf_tpu.models.zipnerf import init_zipnerf
+  from snerf_tpu.data.raygen import pixels_to_rays
+  mcfg32 = ZipNerfConfig(**TINY_MODEL)
+  mcfg16 = ZipNerfConfig(compute_dtype=jnp.bfloat16, **TINY_MODEL)
+  model32, variables = init_zipnerf(jax.random.PRNGKey(0), mcfg32)
+  model16, _ = init_zipnerf(jax.random.PRNGKey(0), mcfg16)
+  c2w = jnp.eye(4)[:3]
+  K = jnp.asarray([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+  px, py = jnp.meshgrid(jnp.arange(16.0), jnp.arange(16.0))
+  rays = pixels_to_rays(px.ravel(), py.ravel(), c2w, K, 0.5, 20.0)
+  r32, _ = model32.apply(variables, rays, rng=None)
+  r16, _ = model16.apply(variables, rays, rng=None)
+  rgb32 = np.asarray(r32[-1]["rgb"])
+  rgb16 = np.asarray(r16[-1]["rgb"])
+  assert np.isfinite(rgb16).all()
+  assert np.max(np.abs(rgb32 - rgb16)) < 0.05
+  assert np.mean(np.abs(rgb32 - rgb16)) < 0.01
+
+
 def test_zip_ipe_encoder_trains():
   """Gather-free IPE backbone behind the same zip-nerf API."""
   scene = make_synthetic_scene(num_images=10, H=20, W=24, datahold=10)
