@@ -92,30 +92,50 @@ def _level_indices(pos_grid, resolution: int, size: int):
   return (h % jnp.uint32(size)).astype(jnp.int32)
 
 
-def hash_encode_level(xf, table, spec: GridSpec, lvl: int):
-  """Trilinear features of ONE level for flat x [N, 3] in [0, 1]^3."""
+def _level_rows_weights(xf, spec: GridSpec, lvl: int):
+  """(row indices [N, 8], trilinear weights [N, 8]) for one level."""
   pos = xf * spec.scales[lvl] + 0.5
   c0 = jnp.floor(pos)
   frac = pos - c0
   corners = c0[:, None, :].astype(jnp.int32) + _CORNERS[None]  # [N, 8, 3]
   idx = _level_indices(corners, spec.resolutions[lvl], spec.sizes[lvl])
-  rows = table[spec.offsets[lvl] + idx]  # [N, 8, C]
   w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :],
                 1.0 - frac[:, None, :]).prod(-1)  # [N, 8]
+  return spec.offsets[lvl] + idx, w
+
+
+def hash_encode_level(xf, table, spec: GridSpec, lvl: int,
+                      scatter_backend: str = "xla"):
+  """Trilinear features of ONE level for flat x [N, 3] in [0, 1]^3."""
+  from snerf_tpu.ops.hash_ops import hash_gather
+  idx, w = _level_rows_weights(xf, spec, lvl)
+  rows = hash_gather(table, idx, scatter_backend)  # [N, 8, C]
   return jnp.einsum("nc,ncd->nd", w, rows)
 
 
-def hash_encode(x, table, spec: GridSpec):
+def hash_encode(x, table, spec: GridSpec, scatter_backend: str = "xla"):
   """Encode x in [0, 1]^3 -> per-level features.
 
   x: [..., 3]; table: [total_rows, level_dim].
   Returns [..., num_levels, level_dim]; out-of-range inputs give zeros.
+
+  TPU formulation (PERF.md): per level, ONE flat row gather (the
+  fast row form) with the table gradient routed through
+  ops.hash_ops.scatter_add_rows; per-level loop keeps the gathered-rows
+  intermediate at [N, 8, C] (an all-levels batched gather was measured
+  no faster and OOMs at the reference sample budget).
   """
   batch_shape = x.shape[:-1]
   xf = x.reshape(-1, 3)
   oob = jnp.any((xf < 0) | (xf > 1), axis=-1)
 
-  feats = [hash_encode_level(xf, table, spec, lvl)
+  # remat: recompute each level's row indices + trilinear weights in the
+  # backward instead of saving [N, 8] int32 per level (HBM-bound at the
+  # reference sample budget; the recompute is cheap VPU hashing)
+  level_fn = jax.checkpoint(
+      hash_encode_level, static_argnums=(2, 3, 4),
+      policy=jax.checkpoint_policies.nothing_saveable)
+  feats = [level_fn(xf, table, spec, lvl, scatter_backend)
            for lvl in range(spec.num_levels)]
   out = jnp.stack(feats, axis=-2)  # [N, L, C]
   out = jnp.where(oob[:, None, None], 0.0, out)
