@@ -23,9 +23,9 @@ COMMON = dict(num_prop_samples=(16, 16), num_nerf_samples=8, sample_n=3,
               raydist_fn="power_transformation")
 
 
-def run(tag, mcfg, scene, dev):
-  tcfg = ZipTrainConfig(batch_size=BATCH, max_steps=STEPS, lr_init=8e-3,
-                        lr_final=8e-4, lr_delay_steps=0)
+def run(tag, mcfg, scene, dev, lr=8e-3):
+  tcfg = ZipTrainConfig(batch_size=BATCH, max_steps=STEPS, lr_init=lr,
+                        lr_final=lr / 10, lr_delay_steps=0)
   cpu = jax.devices("cpu")[0]
   with jax.default_device(cpu):
     model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,

@@ -39,8 +39,15 @@ _SLICE_WEIGHTS = (1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 def _init_params(weights_path: Optional[str] = None, seed: int = 0):
   """{tv_index: (kernel [k,k,cin,cout], bias)} for every conv op."""
   if weights_path is not None:
-    import torch
-    sd = torch.load(weights_path, map_location="cpu")
+    # weight contract: torchvision VGG19 state_dict keys
+    # features.{idx}.weight [cout, cin, k, k] / features.{idx}.bias —
+    # either a torch .pth/.pt state_dict or an .npz with the same keys
+    # (np.savez(path, **{k: v.numpy() for k, v in sd.items()})).
+    if weights_path.endswith(".npz"):
+      sd = np.load(weights_path)
+    else:
+      import torch
+      sd = torch.load(weights_path, map_location="cpu")
     def make(idx, cin, cout):
       w = np.asarray(sd[f"features.{idx}.weight"]).transpose(2, 3, 1, 0)
       b = np.asarray(sd[f"features.{idx}.bias"])

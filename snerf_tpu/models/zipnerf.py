@@ -77,6 +77,14 @@ class ZipNerfConfig:
   use_semantic: bool = False
   class_num: int = 19
   compute_dtype: Any = jnp.float32
+  # RefNeRF machinery (models.py:362-375, ref_utils.py) — dormant in the
+  # shipped waymo.gin (disable_density_normals=True) but available:
+  disable_density_normals: bool = True
+  enable_pred_normals: bool = False
+  use_directional_enc: bool = False   # IDE instead of pos_enc(viewdirs)
+  use_reflections: bool = False
+  enable_pred_roughness: bool = False
+  roughness_bias: float = -1.0
 
 
 class ZipMLP(nn.Module):
@@ -106,11 +114,17 @@ class ZipMLP(nn.Module):
     out_width = 1 if self.disable_rgb else c.bottleneck_width
     self.density_hidden = nn.Dense(64, dtype=dt, name="density_hidden")
     self.density_out = nn.Dense(out_width, dtype=dt, name="density_out")
+    if c.enable_pred_normals:
+      self.normals_head = nn.Dense(3, dtype=jnp.float32,
+                                   name="normals_head")
     if not self.disable_rgb:
       self.view_layers = [
           nn.Dense(c.net_width_viewdirs, dtype=dt, name=f"view_{i}")
           for i in range(c.net_depth_viewdirs)]
       self.rgb_out = nn.Dense(3, dtype=jnp.float32, name="rgb_out")
+      if c.enable_pred_roughness:
+        self.roughness_head = nn.Dense(1, dtype=jnp.float32,
+                                       name="roughness_head")
       if c.num_glo_features > 0:
         self.glo_0 = nn.Dense(128, dtype=dt, name="glo_0")
         self.glo_1 = nn.Dense(c.bottleneck_width * 2, dtype=dt,
@@ -156,12 +170,26 @@ class ZipMLP(nn.Module):
 
   def __call__(self, means, stds, viewdirs=None, glo_vec=None, rng=None):
     c = self.cfg
+    normals = normals_pred = None
+    if not c.disable_density_normals:
+      # density normals = -normalize(d sigma / d means) (models.py:553-573)
+      def _dsum(m):
+        return self.predict_density(m, stds, rng=None)[0].sum()
+      raw_grad = jax.grad(_dsum)(means)
+      from snerf_tpu.ops import ref_utils
+      normals = -ref_utils.l2_normalize(raw_grad.mean(axis=-2))
     raw_density, x = self.predict_density(means, stds, rng=rng)
     density = nn.softplus(raw_density + c.density_bias)
 
+    if c.enable_pred_normals:
+      from snerf_tpu.ops import ref_utils
+      grad_pred = self.normals_head(x.astype(jnp.float32))
+      normals_pred = -ref_utils.l2_normalize(grad_pred)
+
     if self.disable_rgb:
       return dict(density=density,
-                  rgb=jnp.zeros(density.shape + (3,)), semantic=None)
+                  rgb=jnp.zeros(density.shape + (3,)), semantic=None,
+                  normals=normals, normals_pred=normals_pred)
 
     semantic = None
     if c.use_semantic:
@@ -176,12 +204,37 @@ class ZipMLP(nn.Module):
       scale, shift = jnp.split(g, 2, axis=-1)
       bottleneck = bottleneck * jnp.exp(scale) + shift
 
+    roughness = None
+    if c.enable_pred_roughness:
+      roughness = nn.softplus(
+          self.roughness_head(x.astype(jnp.float32)) + c.roughness_bias)
+
     parts = [bottleneck]
     if viewdirs is not None:
-      dir_enc = mip.pos_enc(viewdirs, 0, c.deg_view, append_identity=True)
-      dir_enc = jnp.broadcast_to(
-          dir_enc[..., None, :],
-          bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+      if c.use_directional_enc:
+        from snerf_tpu.ops import ref_utils
+        ide_fn = ref_utils.generate_ide_fn(c.deg_view)
+        normals_to_use = normals_pred if c.enable_pred_normals else normals
+        if c.use_reflections and normals_to_use is not None:
+          # reflect the point-to-camera direction about the normal
+          # (models.py:636-646); per-sample directions
+          dirs = ref_utils.reflect(
+              -viewdirs[..., None, :], normals_to_use)
+        else:
+          dirs = jnp.broadcast_to(
+              viewdirs[..., None, :],
+              bottleneck.shape[:-1] + (3,))
+        kappa_inv = (roughness if roughness is not None
+                     else jnp.zeros_like(dirs[..., :1]))
+        dir_enc = ide_fn(dirs, kappa_inv)
+        dir_enc = jnp.broadcast_to(
+            dir_enc, bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+      else:
+        dir_enc = mip.pos_enc(viewdirs, 0, c.deg_view,
+                              append_identity=True)
+        dir_enc = jnp.broadcast_to(
+            dir_enc[..., None, :],
+            bottleneck.shape[:-1] + (dir_enc.shape[-1],))
       parts.append(dir_enc)
     h = jnp.concatenate(parts, axis=-1)
     inputs = h
@@ -191,7 +244,8 @@ class ZipMLP(nn.Module):
         h = jnp.concatenate([h, inputs], axis=-1)
     rgb = nn.sigmoid(self.rgb_out(h))
     rgb = rgb * (1 + 2 * c.rgb_padding) - c.rgb_padding
-    return dict(density=density, rgb=rgb, semantic=semantic)
+    return dict(density=density, rgb=rgb, semantic=semantic,
+                normals=normals, normals_pred=normals_pred)
 
 
 class ZipNerfModel(nn.Module):
@@ -312,7 +366,10 @@ class ZipNerfModel(nn.Module):
           compute_extras=compute_extras, semantic=sem)
       renderings.append(rendering)
       ray_history.append(dict(sdist=sdist, tdist=tdist, weights=weights,
-                              density=ray_results["density"]))
+                              density=ray_results["density"],
+                              normals=ray_results.get("normals"),
+                              normals_pred=ray_results.get(
+                                  "normals_pred")))
     return renderings, ray_history
 
 

@@ -23,13 +23,15 @@ from snerf_tpu.sim.mesh import mesh_extents, place_mesh
 
 @dataclasses.dataclass
 class Instance:
-  """A placed foreground asset."""
+  """A placed foreground asset (vertex-colored or UV-textured)."""
   verts: np.ndarray              # [V, 3] canonical (bottom at z=0)
   faces: np.ndarray              # [F, 3]
   colors: Optional[np.ndarray]   # [V, 3] in [0, 1] or None
   position: np.ndarray           # [3] world
   yaw_deg: float
   category: str = "vehicle"
+  uvs: Optional[np.ndarray] = None      # [V, 2] seam-split UVs
+  texture: Optional[np.ndarray] = None  # [Ht, Wt, 3] float [0, 1]
 
   def world_verts(self):
     return place_mesh(self.verts, self.position, self.yaw_deg)
@@ -39,9 +41,18 @@ def render_instance(inst: Instance, w2c, K, hw):
   """Rasterize one instance into the target view.
 
   Returns (rgb [H,W,3], depth [H,W], mask [H,W]) — the mesh_renderer.py
-  forward pass (nvdiffrast+kaolin replacement)."""
+  forward pass (nvdiffrast+kaolin replacement). Textured instances
+  rasterize perspective-correct UVs and bilinearly sample the texture
+  (mesh_renderer.py:67-89 grid_sample path)."""
+  from snerf_tpu.sim.mesh import sample_texture
   vw = inst.world_verts()
   vc = vw @ w2c[:3, :3].T + w2c[:3, 3]
+  if inst.texture is not None and inst.uvs is not None:
+    uv_img, depth, mask = native.rasterize(vc, inst.faces, inst.uvs, K,
+                                           hw)
+    rgb = np.zeros(hw + (3,), np.float32)
+    rgb[mask] = sample_texture(inst.texture, uv_img[mask])
+    return rgb, depth, mask
   attrs = inst.colors if inst.colors is not None else \
       np.full((len(vw), 3), 0.5, np.float32)
   rgb, depth, mask = native.rasterize(vc, inst.faces, attrs, K, hw)

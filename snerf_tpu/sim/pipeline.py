@@ -90,11 +90,12 @@ def run_simulation(background_views: List[dict],
     for pos in positions[v]:
       category = cfg.categories[rng.randint(len(cfg.categories))]
       try:
-        verts, faces, colors, _ = asset_bank.sample(category, rng)
+        asset = asset_bank.sample_asset(category, rng)
       except FileNotFoundError:
         continue
       instances.append(compose.Instance(
-          verts=verts, faces=faces, colors=colors,
+          verts=asset.verts, faces=asset.faces, colors=asset.colors,
+          uvs=asset.uvs, texture=asset.texture,
           position=np.asarray(pos, np.float32),
           yaw_deg=float(rng.uniform(0, 360)), category=category))
 

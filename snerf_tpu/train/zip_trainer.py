@@ -63,6 +63,13 @@ class ZipTrainConfig:
   patch_size: int = 1
   smoothness_loss_mult: float = 0.001           # smo_lam (train.py:283)
   semantic_smoothness_loss_mult: float = 0.001  # s_lam (train.py:284)
+  # RefNeRF regularizers (train_utils.py:176-231); 0 = off (the shipped
+  # waymo.gin disables density normals, so these are dormant by default)
+  orientation_loss_mult: float = 0.0
+  orientation_coarse_loss_mult: float = 0.0
+  orientation_loss_target: str = "normals_pred"
+  predicted_normal_loss_mult: float = 0.0
+  predicted_normal_coarse_loss_mult: float = 0.0
   single_image: bool = False         # zipnerf samples across all images
   randomized: bool = True
   # posenet warmup window (zipnerf train.py:177-214: refine poses with a
@@ -221,6 +228,41 @@ def make_zip_train_step(model: ZipNerfModel,
                                weight=cfg.distortion_loss_mult)
       total = total + dist
       metrics["loss_distortion"] = dist
+
+    if cfg.orientation_loss_mult > 0 or cfg.orientation_coarse_loss_mult > 0:
+      # RefNeRF orientation regularizer (train_utils.py:176-193):
+      # penalize normals facing away from the camera
+      ol = 0.0
+      v = -rays.viewdirs
+      for i, rh in enumerate(ray_history):
+        n = rh.get(cfg.orientation_loss_target)
+        if n is None:
+          continue
+        n_dot_v = (n * v[..., None, :]).sum(axis=-1)
+        term = jnp.mean(jnp.sum(
+            rh["weights"] * jnp.maximum(n_dot_v, 0.0) ** 2, axis=-1))
+        mult = (cfg.orientation_coarse_loss_mult
+                if i < len(ray_history) - 1 else cfg.orientation_loss_mult)
+        ol = ol + mult * term
+      total = total + ol
+      metrics["loss_orientation"] = ol
+
+    if (cfg.predicted_normal_loss_mult > 0 or
+        cfg.predicted_normal_coarse_loss_mult > 0):
+      # predicted-normal supervision (train_utils.py:215-231)
+      pnl = 0.0
+      for i, rh in enumerate(ray_history):
+        n, npred = rh.get("normals"), rh.get("normals_pred")
+        if n is None or npred is None:
+          continue
+        term = jnp.mean(jnp.sum(
+            rh["weights"] * (1.0 - jnp.sum(n * npred, axis=-1)), axis=-1))
+        mult = (cfg.predicted_normal_coarse_loss_mult
+                if i < len(ray_history) - 1
+                else cfg.predicted_normal_loss_mult)
+        pnl = pnl + mult * term
+      total = total + pnl
+      metrics["loss_predicted_normals"] = pnl
 
     if cfg.hash_decay_mult > 0 and specs:
       hd = 0.0
