@@ -70,14 +70,24 @@ def main(argv=None):
   mode = extra["render_mode"]
   n_render = int(extra["render_n"])
   if mode == "random":
-    # WAYMO_RENDER-style novel poses around the training trajectory.
-    # Per-pose image sizes: forward vs side cameras may differ.
+    # WAYMO_RENDER / NUSCENES_RENDER-style novel poses around the
+    # training trajectory. Per-pose image sizes: forward vs side
+    # cameras may differ.
     hw_fwd = np.array([H, W])
     hw_side = np.array([H, W])
-    pose_set = generate_random_render_poses(
-        scene.poses, scene.intrinsics[0], scene.intrinsics[-1],
-        hw_fwd, hw_side, scene.scale,
-        n_render=n_render, seed=int(extra["render_seed"]))
+    if cfg.dataset_type == "nuscenes":
+      # full 6-camera rig per sample (NUSCENES_RENDER parity)
+      from snerf_tpu.data.waymo import generate_nuscenes_render_poses
+      pose_set = generate_nuscenes_render_poses(
+          scene.poses, scene.intrinsics, hw_fwd, scene.scale,
+          n_render=max(n_render // max(cfg.cam_num, 1), 1),
+          cam_num=max(cfg.cam_num, 1),
+          seed=int(extra["render_seed"]))
+    else:
+      pose_set = generate_random_render_poses(
+          scene.poses, scene.intrinsics[0], scene.intrinsics[-1],
+          hw_fwd, hw_side, scene.scale,
+          n_render=n_render, seed=int(extra["render_seed"]))
     poses = pose_set.poses[:, :3, :]
     Ks = pose_set.intrinsics
     hws = pose_set.hws

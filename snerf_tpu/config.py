@@ -139,6 +139,9 @@ class Config:
   zip_depth_loss_mult: float = 0.0
   zip_semantic_loss_mult: float = 0.04
   llffhold: int = 8
+  # DTU (zipnerf datasets.py:1858-1934)
+  dtu_light_cond: int = 2
+  dtuhold: int = 8
 
   # --- eval ---
   lpips: bool = False              # optional perceptual metric (see

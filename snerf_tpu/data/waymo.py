@@ -227,3 +227,55 @@ def render2raw(render_poses, transform, scale_factor: float,
       [raw[:, :, 0:1], -raw[:, :, 1:2], -raw[:, :, 2:3], raw[:, :, 3:4]],
       axis=-1)
   return (start_raw_c2w[None] @ raw).astype(np.float32)
+
+
+def generate_nuscenes_render_poses(poses, intrinsics, hw,
+                                   scale_factor: float, n_render: int,
+                                   cam_num: int = 6, front_cam: int = 0,
+                                   seed: int = 0) -> RenderPoseSet:
+  """nuScenes random render rig (NUSCENES_RENDER, datasets.py:1470-1553):
+  each render sample is the FULL 6-camera rig — one noisy front-camera
+  pose plus the other cameras placed via their frame-relative transforms
+  to the front camera. `poses` are camera-major blocks ([cam, frame]),
+  matching the nuScenes loader's cam_index layout; n_render counts rig
+  samples (total poses emitted = n_render * cam_num)."""
+  rng = np.random.RandomState(seed)
+  total = len(poses)
+  frame_num = max(total // cam_num, 1)
+  frame_offset = min(5, max(frame_num // 4, 0))
+  dx, dy, dz = np.array([0.5, 0.5, 0.25]) * scale_factor
+  dxt, dyt = 2.5, 5.0
+
+  def pad44(p):
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :4] = p[:3, :4]
+    return out
+
+  out_poses, Ks, hws = [], [], []
+  for _ in range(n_render):
+    frame_id = rng.randint(frame_offset,
+                           max(frame_num - frame_offset, frame_offset + 1))
+    f_idx = front_cam * frame_num + frame_id
+    front = pad44(poses[f_idx])
+    noisy_front = pad44(camera_utils.add_noise_to_pose(
+        poses[f_idx].copy(), dx, dy, dz, dxt, dyt, rng))
+    out_poses.append(noisy_front)
+    Ks.append(intrinsics[f_idx])
+    hws.append(hw)
+    for cam in range(cam_num):
+      if cam == front_cam:
+        continue
+      c_idx = int(np.clip(cam * frame_num + frame_id, 0, total - 1))
+      sensor2front = np.linalg.inv(front) @ pad44(poses[c_idx])
+      out_poses.append(noisy_front @ sensor2front)
+      Ks.append(intrinsics[c_idx])
+      hws.append(hw)
+
+  render_poses = np.stack(out_poses)
+  poses_sd = render_poses.copy()
+  poses_sd[:, :3, 3] /= scale_factor
+  return RenderPoseSet(poses=render_poses.astype(np.float32),
+                       intrinsics=np.stack(Ks).astype(np.float32),
+                       hws=np.tile(np.asarray(hw, np.int32)[None],
+                                   (len(out_poses), 1)),
+                       poses_sd=poses_sd.astype(np.float32))

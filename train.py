@@ -39,6 +39,14 @@ def load_scene(cfg):
                            llffhold=cfg.llffhold,
                            block_bg=cfg.block_bg,
                            car_sample_n=cfg.car_sample_n)
+  elif cfg.dataset_type == "dtu":
+    from snerf_tpu.data.dtu import load_dtu_scene
+    return load_dtu_scene(cfg.datadir, factor=max(cfg.factor, 1),
+                          dtu_light_cond=cfg.dtu_light_cond,
+                          dtuhold=cfg.dtuhold)
+  elif cfg.dataset_type == "tnt":
+    from snerf_tpu.data.tnt import load_tnt_scene
+    return load_tnt_scene(cfg.datadir)
   else:
     raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
 
