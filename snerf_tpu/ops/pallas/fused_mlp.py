@@ -70,7 +70,7 @@ def _fwd(x, w_stack, b_stack, tile: int, last_relu: bool,
       in_specs=[
           pl.BlockSpec((tile, d), lambda i: (i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec(memory_space=pltpu.ANY),   # weights stay in HBM
+          pl.BlockSpec(memory_space=pl.ANY),      # weights stay in HBM
           pl.BlockSpec(memory_space=pltpu.VMEM),  # biases (small)
       ],
       out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),

@@ -117,3 +117,19 @@ def test_total_variation_per_level_step():
   tv_rough = float(total_variation_loss(rough, spec, key, n_samples=512))
   assert tv_const < 1e-10
   assert tv_rough > tv_const
+
+
+def test_grid_sizes_reference_formula():
+  """grid_sizes must equal ceil(base*scale^l) + 1 per level — the
+  reference grid.py buffer used by the erf multisample downweighting
+  (ADVICE r1: ours was one smaller at every level)."""
+  from snerf_tpu.models.hashgrid import HashEncoding
+  import flax.linen as nn  # noqa: F401
+  enc = HashEncoding(num_levels=5, level_dim=2, base_resolution=16,
+                     desired_resolution=512, log2_hashmap_size=12)
+  variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+  bound = enc.bind(variables)
+  per_level_scale = (512 / 16) ** (1 / 4)
+  expected = np.array([np.ceil(16 * per_level_scale ** l) + 1
+                       for l in range(5)], np.float32)
+  np.testing.assert_allclose(np.asarray(bound.grid_sizes), expected)

@@ -229,3 +229,22 @@ def test_obj_roundtrip_and_center(tmp_path):
   assert cv[:, 2].min() == pytest.approx(0.0, abs=1e-5)
   ext = cv.max(0) - cv.min(0)
   assert max(ext[0], ext[1]) == pytest.approx(4.5, abs=1e-4)
+
+
+def test_render_video_tool(tmp_path):
+  """stage3 render_video parity tool: frames dir -> video (or npy stack
+  fallback when no ffmpeg backend exists in the image)."""
+  import sys
+  sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts"))
+  from render_video import render_video
+  from PIL import Image
+  d = tmp_path / "image"
+  d.mkdir()
+  for i in range(3):
+    Image.fromarray(
+        np.full((8, 10, 3), i * 40, np.uint8)).save(d / f"{i:03d}.png")
+  out = render_video(str(d), str(tmp_path / "video.mp4"), fps=5)
+  assert os.path.exists(out)
+  if out.endswith(".npy"):
+    assert np.load(out).shape == (3, 8, 10, 3)
