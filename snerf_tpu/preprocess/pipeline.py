@@ -38,6 +38,31 @@ class FrameData:
   lidar_points_adjacent: np.ndarray  # [3, N] same points in the neighbor
 
 
+def default_segmentation_fn(rgb):
+  """Fallback semantic labeler: classical sky detection only.
+
+  Stands in for mseg (YORO:731-743) when no checkpoint is plugged in —
+  emits label 142 (mseg sky) for bright, low-saturation pixels connected
+  to the top border, 0 elsewhere. The only label the depth pipeline
+  consumes is sky==142 (YORO:797 sets sky depth to 200 m); everything
+  else needs a real segmentation net via segmentation_fn.
+  """
+  import cv2
+  hsv = cv2.cvtColor(np.asarray(rgb, np.uint8), cv2.COLOR_RGB2HSV)
+  sat = hsv[..., 1].astype(np.float32) / 255.0
+  val = hsv[..., 2].astype(np.float32) / 255.0
+  skyish = ((sat < 0.35) & (val > 0.55)).astype(np.uint8)
+  skyish = cv2.morphologyEx(skyish, cv2.MORPH_OPEN,
+                            np.ones((5, 5), np.uint8))
+  # keep only components touching the top image border
+  n, comp = cv2.connectedComponents(skyish)
+  top_ids = np.unique(comp[0])
+  sky = np.isin(comp, top_ids[top_ids > 0])
+  labels = np.zeros(rgb.shape[:2], np.int32)
+  labels[sky] = 142
+  return labels
+
+
 def default_completion_fn(rgb, sparse_depth):
   """Fallback densifier: nearest-valid dilation + bilateral-ish smoothing.
 

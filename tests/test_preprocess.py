@@ -172,3 +172,15 @@ def test_model_flow_fn_contract():
   bad = make_model_flow_fn(lambda a, b: np.zeros((4, 5)))
   with _pytest.raises(ValueError):
     bad(np.zeros((4, 5, 3)), np.zeros((4, 5, 3)))
+
+
+def test_default_segmentation_sky_heuristic():
+  """P7 default: bright low-saturation top-connected region -> sky 142."""
+  from snerf_tpu.preprocess.pipeline import default_segmentation_fn
+  img = np.zeros((40, 60, 3), np.uint8)
+  img[:18] = [200, 210, 230]    # bright sky band at the top
+  img[18:] = [60, 70, 50]       # dark ground
+  img[30:34, 10:20] = [230, 230, 230]  # bright patch NOT touching top
+  labels = default_segmentation_fn(img)
+  assert (labels[:15] == 142).mean() > 0.9
+  assert (labels[18:] == 142).sum() == 0
