@@ -8,3 +8,6 @@ targets are batch-sharded, params replicated, gradients psum'd by XLA SPMD.
 
 from snerf_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding, make_mesh, replicate_sharding, shard_batch)
+from snerf_tpu.parallel.tp import (  # noqa: F401
+    MODEL_AXIS, make_mesh_2d, num_model_shards, shard_state,
+    state_shardings)
