@@ -90,6 +90,13 @@ class Config:
   depth_conf: bool = False
   conf_num: int = 1
   vgg_loss: bool = False
+  # --flow (arg_parser.py:215): flow-consistency confidence mode. The
+  # reference gathers flow_depends then its reproj_flow_err pdb's and
+  # returns None (loss.py:181-216); here the mode is completed
+  # (models/confidence.py "flow"). Needs the flow/ npy side channel.
+  # Unlike the reference (assert conf_num == 1) any conf_num works —
+  # flow just only attaches to the +-1 neighbors.
+  flow: bool = False
   precompute_conf: bool = True
   tau: float = 0.3
   backcam: bool = False
@@ -246,6 +253,8 @@ class Config:
     modes = ["rgb", "ssim", "depth"]
     if self.vgg_loss:
       modes.append("vgg")
+    if self.flow:
+      modes.append("flow")
     return tuple(modes)
 
 
@@ -349,7 +358,7 @@ _IGNORED_FLAGS = {
     "no_coarse", "train_scene", "test_scene", "colmap_depth",
     "weighted_loss", "relative_loss",
     "reg_loss", "reg_lambda", "weight_decay_mult", "distributed", "log",
-    "translation", "conf_max", "flow", "load_poses",
+    "translation", "conf_max", "load_poses",
     "far_bound", "no_reproj", "no_geometry", "render_sky", "half_test",
     "semantic_loss_type",
 }
@@ -397,6 +406,24 @@ def load_config(argv: Optional[List[str]] = None,
       raise ValueError(f"unknown config key {k!r}")
   cfg = Config(**kwargs)
   cfg.config = known.config
+  return cfg
+
+
+def load_config_with_snapshot(argv=None) -> Config:
+  """load_config, but with the experiment's args.txt snapshot (written by
+  snapshot_config at train time) as the lowest-priority defaults.
+
+  Eval/render must rebuild the EXACT train-time state structure (e.g. a
+  --depth_conf run adds conf_params/conf_opt_state to the checkpoint
+  tree); reading the snapshot makes that automatic instead of requiring
+  the user to repeat every structural flag (reference parity: eval.py
+  reloads args from the exp dir too). Priority: CLI > --config file >
+  snapshot > dataclass defaults.
+  """
+  cfg = load_config(argv)
+  snap = os.path.join(cfg.exp_dir(), "args.txt")
+  if os.path.exists(snap):
+    cfg = load_config(argv, defaults=parse_config_file(snap))
   return cfg
 
 

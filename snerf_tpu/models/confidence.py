@@ -102,9 +102,19 @@ def warp_image(base_depth, base_pose, base_intr,
 
 def reproj_err_maps(modes: Sequence[str], base_img, base_depth, base_pose,
                     base_intr, tgt_img, tgt_depth, tgt_pose, tgt_intr,
-                    feature_fn: Optional[Callable] = None):
+                    feature_fn: Optional[Callable] = None,
+                    base_flow: Optional[jnp.ndarray] = None):
   """Per-mode [H, W] error maps vs one neighbor + validity mask
-  (parity: loss.py:218-268)."""
+  (parity: loss.py:218-268).
+
+  base_flow: optional [H, W, 2] optical flow (dx, dy in pixels) from the
+  base image to THIS neighbor. Enables the "flow" mode: the flow-
+  consistency error the reference started but never finished
+  (loss.py:181-216 reproj_flow_err computes the depth-reprojected
+  tgt_coord then hits a pdb and returns None). Completed here as
+  ||depth_reprojection(p) - (p + flow(p))||_2 in pixels — geometry and
+  flow agree where depth and pose are right.
+  """
   fake_img, tgt_depth_at, proj_depth, valid = warp_image(
       base_depth, base_pose, base_intr, tgt_img, tgt_depth, tgt_pose,
       tgt_intr)
@@ -127,6 +137,15 @@ def reproj_err_maps(modes: Sequence[str], base_img, base_depth, base_pose,
                      jnp.maximum(tgt_depth_at, 1e-10))
   if "vgg" in modes and feature_fn is not None:
     errs["vgg"] = feature_fn(base_masked, fake_img)
+  if "flow" in modes and base_flow is not None:
+    H, W = base_depth.shape
+    tgt_x, tgt_y, _, _ = project_to_view(
+        base_depth, base_pose, base_intr, tgt_pose, tgt_intr)
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    flow_x = xs + base_flow[..., 0]
+    flow_y = ys + base_flow[..., 1]
+    errs["flow"] = jnp.sqrt((tgt_x - flow_x) ** 2 + (tgt_y - flow_y) ** 2)
   return errs, valid
 
 
@@ -152,12 +171,14 @@ def reproj_conf_maps(modes: Sequence[str], base_img, base_depth, base_pose,
     errs, valid = reproj_err_maps(
         modes, base_img, base_depth, base_pose, base_intr,
         nb["img"], nb["depth"], nb["pose"], nb["intr"],
-        feature_fn=feature_fn)
+        feature_fn=feature_fn, base_flow=nb.get("flow"))
     vw = valid.astype(jnp.float32) * w
     if "depth" in errs:
       outlier = outlier | (valid & (errs["depth"] > tau) & (w > 0))
       errs["depth"] = jnp.minimum(errs["depth"], tau)
     for m in modes:
+      if m not in errs:  # e.g. "flow" for a neighbor with no flow field
+        continue
       err = jnp.where(valid, errs[m], 0.0)
       emax = jnp.max(err)
       conf = emax - err
@@ -241,6 +262,12 @@ def precompute_conf_maps(modes: Sequence[str], scene, conf_num: int = 1,
   depths = jnp.asarray(scene.depths, jnp.float32)
   poses = jnp.asarray(scene.poses, jnp.float32)
   intrs = jnp.asarray(scene.intrinsics, jnp.float32)
+  # Optical-flow side channel (scene.flow [2, N, H, W, 2] next/prev,
+  # load_nuscenes.py:153-167): feeds the completed "flow" mode for the
+  # immediate +-1 neighbors (cols 0/1 of the neighbor table).
+  flows = None
+  if "flow" in modes and getattr(scene, "flow", None) is not None:
+    flows = jnp.asarray(scene.flow, jnp.float32)
 
   @jax.jit
   def one_image(img_i, nb_ids, nb_ws):
@@ -249,6 +276,9 @@ def precompute_conf_maps(modes: Sequence[str], scene, conf_num: int = 1,
          "pose": poses[nb_ids[c]], "intr": intrs[nb_ids[c]],
          "weight": nb_ws[c]}
         for c in range(nb_ids.shape[0])]
+    if flows is not None:
+      for c in range(min(2, len(neighbors))):
+        neighbors[c]["flow"] = flows[c, img_i]
     confs = reproj_conf_maps(modes, images[img_i], depths[img_i],
                              poses[img_i], intrs[img_i], neighbors,
                              tau=tau, feature_fn=feature_fn)

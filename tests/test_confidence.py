@@ -153,3 +153,60 @@ def test_precompute_with_vgg_mode():
   # vgg channel produced meaningful (non-constant) confidences
   vgg_channel = maps[:, 2].astype(np.float32)
   assert vgg_channel.std() > 0
+
+
+def test_flow_mode_completes_reference_reproj_flow_err():
+  """The "flow" confidence mode (finishing reference loss.py:181-216,
+  which pdb's and returns None): geometry-consistent flow scores high,
+  corrupted flow scores low."""
+  from snerf_tpu.models.confidence import reproj_err_maps
+  scene = make_synthetic_scene(num_images=12, H=24, W=32)
+  i, j = 3, 4
+  depth = jnp.asarray(scene.depths[i])
+  pose_i = jnp.asarray(scene.poses[i])
+  K_i = jnp.asarray(scene.intrinsics[i])
+  pose_j = jnp.asarray(scene.poses[j])
+  K_j = jnp.asarray(scene.intrinsics[j])
+  tx, ty, _, _ = project_to_view(depth, pose_i, K_i, pose_j, K_j)
+  ys, xs = np.meshgrid(np.arange(24, dtype=np.float32),
+                       np.arange(32, dtype=np.float32), indexing="ij")
+  true_flow = jnp.stack([tx - xs, ty - ys], -1)
+
+  errs, valid = reproj_err_maps(
+      ("flow",), jnp.asarray(scene.images[i], jnp.float32) / 255.0, depth,
+      pose_i, K_i, jnp.asarray(scene.images[j], jnp.float32) / 255.0,
+      jnp.asarray(scene.depths[j]), pose_j, K_j, base_flow=true_flow)
+  v = np.asarray(valid)
+  assert np.abs(np.asarray(errs["flow"]))[v].max() < 1e-3
+
+  bad_flow = true_flow.at[8:16, 8:16].add(5.0)
+  errs_bad, _ = reproj_err_maps(
+      ("flow",), jnp.asarray(scene.images[i], jnp.float32) / 255.0, depth,
+      pose_i, K_i, jnp.asarray(scene.images[j], jnp.float32) / 255.0,
+      jnp.asarray(scene.depths[j]), pose_j, K_j, base_flow=bad_flow)
+  e = np.asarray(errs_bad["flow"])
+  assert e[8:16, 8:16][v[8:16, 8:16]].min() > 1.0
+  outside = np.ones_like(v, bool)
+  outside[8:16, 8:16] = False
+  assert e[outside & v].max() < 1e-3
+
+
+def test_precompute_flow_mode_via_scene_side_channel():
+  """precompute_conf_maps consumes Scene.flow for the +-1 neighbors."""
+  scene = make_synthetic_scene(num_images=6, H=16, W=20)
+  n = scene.images.shape[0]
+  rng = np.random.RandomState(0)
+  # small random flow: not geometry-consistent, but exercises the path
+  scene.flow = rng.uniform(-1, 1, (2, n, 16, 20, 2)).astype(np.float32)
+  maps = precompute_conf_maps(("rgb", "flow"), scene, conf_num=1)
+  assert maps.shape[1] == 2
+  assert maps.dtype == np.uint8
+  # flow-mode maps are populated (nonzero somewhere) and bounded
+  assert maps[:, 1].max() > 0
+
+
+def test_flow_flag_enables_flow_mode():
+  from snerf_tpu.config import load_config
+  cfg = load_config(["--flow", "True", "--depth_conf", "True"])
+  assert cfg.conf_modes() == ("rgb", "ssim", "depth", "flow")
+  assert load_config([]).conf_modes() == ("rgb", "ssim", "depth")
