@@ -28,4 +28,13 @@ def load_scene_by_type(dataset_type: str, datadir: str, **kwargs):
     return load_blender_scene(datadir, **kwargs)
   if dataset_type == "synthetic":
     return make_synthetic_scene(**kwargs)
+  if dataset_type == "dtu":
+    from snerf_tpu.data.dtu import load_dtu_scene
+    return load_dtu_scene(datadir, **kwargs)
+  if dataset_type == "tat_nerfpp":
+    from snerf_tpu.data.tnt import load_tnt_scene
+    return load_tnt_scene(datadir, **kwargs)
+  if dataset_type == "tat_fvs":
+    from snerf_tpu.data.tnt import load_tnt_fvs_scene
+    return load_tnt_fvs_scene(datadir, **kwargs)
   raise ValueError(f"unknown dataset_type {dataset_type!r}")

@@ -96,3 +96,47 @@ def test_nuscenes_render_rig():
     # relative transform is a rigid motion
     R = rel_render[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_tnt_fvs_loader(tmp_path):
+  import cv2
+  from snerf_tpu.data import load_scene_by_type
+  n, H, W = 10, 24, 32
+  rng = np.random.RandomState(1)
+  # two size dirs; sorted()[::-1] puts ibr3d_pw_1.00 at factor 0
+  for name, h, w in [("ibr3d_pw_1.00", H, W),
+                     ("ibr3d_pw_0.50", H // 2, W // 2)]:
+    d = tmp_path / "dense" / name
+    d.mkdir(parents=True)
+    Ks = np.tile(np.array([[40.0, 0, w / 2], [0, 40.0, h / 2],
+                           [0, 0, 1]])[None], (n, 1, 1))
+    Rs, ts = [], []
+    for i in range(n):
+      cv2.imwrite(str(d / f"im_{i:08d}.png"),
+                  (rng.rand(h, w, 3) * 255).astype(np.uint8))
+      th = 2 * np.pi * i / n
+      # elliptical ring: distinct covariance eigenvalues (a perfectly
+      # circular ring is degenerate and np.linalg.eig then returns
+      # non-orthogonal eigenvectors -- same behavior as the reference)
+      C = np.array([2 * np.cos(th), 1.3 * np.sin(th), 0.5 + 0.1 * np.sin(th)])
+      z = -C / np.linalg.norm(C)
+      x = np.cross([0, 0, 1.0], z); x /= np.linalg.norm(x)
+      y = np.cross(z, x)
+      R = np.stack([x, y, z])
+      Rs.append(R)
+      ts.append(-R @ C)
+    np.save(str(d / "Ks.npy"), Ks)
+    np.save(str(d / "Rs.npy"), np.stack(Rs))
+    np.save(str(d / "ts.npy"), np.stack(ts))
+
+  scene = load_scene_by_type("tat_fvs", str(tmp_path), llffhold=5)
+  assert scene.images.shape == (n, H, W, 3)
+  assert len(scene.i_test) == 2 and len(scene.i_train) == 8
+  # PCA normalization: scale factor capped at 1/10 (orig max |t| ~= 2)
+  assert np.abs(scene.poses[:, :3, 3]).max() <= 0.22
+  # poses are valid rotations
+  R0 = scene.poses[0, :3, :3]
+  np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-5)
+  # factor 1 loads the half-size pyramid level
+  half = load_scene_by_type("tat_fvs", str(tmp_path), factor=1)
+  assert half.images.shape[1:3] == (H // 2, W // 2)
