@@ -184,3 +184,37 @@ def test_default_segmentation_sky_heuristic():
   labels = default_segmentation_fn(img)
   assert (labels[:15] == 142).mean() > 0.9
   assert (labels[18:] == 142).sum() == 0
+
+
+def test_ipbasic_completion_dense_and_occlusion_aware():
+  """default_completion_fn (IP-Basic style): fills all holes, preserves
+  the original returns exactly, and propagates the NEAR surface over the
+  far one at object boundaries (the inversion trick)."""
+  from snerf_tpu.preprocess.pipeline import default_completion_fn
+  H, W = 48, 64
+  rng = np.random.RandomState(0)
+  sparse = np.zeros((H, W), np.float32)
+  # far background plane at 40 m: sparse samples everywhere
+  ys, xs = rng.randint(0, H, 300), rng.randint(0, W, 300)
+  sparse[ys, xs] = 40.0
+  # near object at 5 m occupying a block, sampled sparsely too
+  ys2 = rng.randint(10, 30, 80)
+  xs2 = rng.randint(20, 40, 80)
+  sparse[ys2, xs2] = 5.0
+  rgb = np.zeros((H, W, 3), np.uint8)
+
+  dense = default_completion_fn(rgb, sparse)
+  assert (dense > 0).all(), "holes remain"
+  # original returns kept exactly
+  np.testing.assert_allclose(dense[ys, xs], sparse[ys, xs])
+  # interior of the object is near-depth, not blended to background
+  assert np.median(dense[15:25, 25:35]) < 10.0
+  # far field stays far
+  assert np.median(dense[:5]) > 30.0
+
+
+def test_ipbasic_completion_empty_input_is_noop():
+  from snerf_tpu.preprocess.pipeline import default_completion_fn
+  z = np.zeros((16, 16), np.float32)
+  out = default_completion_fn(np.zeros((16, 16, 3), np.uint8), z)
+  assert (out == 0).all()
