@@ -77,7 +77,7 @@ def main(argv=None):
   import jax.numpy as jnp
   import numpy as np
 
-  from snerf_tpu.config import load_config
+  from snerf_tpu.config import load_config_with_snapshot
   from snerf_tpu.data.raygen import rays_for_image
   from snerf_tpu.parallel import make_mesh
   from snerf_tpu.train import checkpoints as ckpt_lib
@@ -86,7 +86,7 @@ def main(argv=None):
   from snerf_tpu.utils.metrics import MetricHarness
   from train import load_scene
 
-  cfg = load_config(argv)
+  cfg = load_config_with_snapshot(argv)
   exp_dir = cfg.exp_dir()
   ckpt_dir = os.path.join(exp_dir, "checkpoints")
 

@@ -24,7 +24,7 @@ def main(argv=None):
   import jax.numpy as jnp
   import numpy as np
 
-  from snerf_tpu.config import load_config
+  from snerf_tpu.config import load_config_with_snapshot
   from snerf_tpu.data import camera_utils
   from snerf_tpu.data.raygen import rays_for_image
   from snerf_tpu.data.waymo import generate_random_render_poses, render2raw
@@ -42,7 +42,7 @@ def main(argv=None):
       i = argv.index(f"--{k}")
       extra[k] = argv[i + 1]
       del argv[i:i + 2]
-  cfg = load_config(argv)
+  cfg = load_config_with_snapshot(argv)
   exp_dir = cfg.exp_dir()
   ckpt_dir = os.path.join(exp_dir, "checkpoints")
   out_dir = extra["out_dir"] or os.path.join(exp_dir, "render")

@@ -218,3 +218,29 @@ def test_bench_smoke_tiny(capsys):
   rec = _json.loads(line)
   assert rec["metric"] == "train_rays_per_sec"
   assert rec["value"] > 0
+
+
+def test_load_config_with_snapshot_restores_structure_flags(tmp_path):
+  """eval/render must rebuild the train-time state STRUCTURE from the
+  exp-dir args.txt snapshot (regression: a --depth_conf checkpoint was
+  un-restorable from eval.py, which built a conf-less target tree)."""
+  from snerf_tpu.config import (
+      load_config, load_config_with_snapshot, snapshot_config)
+  cfg = load_config(["--basedir", str(tmp_path), "--expname", "e1",
+                     "--depth_conf", "True", "--conf_num", "2",
+                     "--N_rgb", "128"])
+  snapshot_config(cfg)
+
+  # eval-style invocation: no structural flags on the CLI
+  cfg2 = load_config_with_snapshot(
+      ["--basedir", str(tmp_path), "--expname", "e1"])
+  assert cfg2.depth_conf is True and cfg2.conf_num == 2
+  # CLI still outranks the snapshot
+  cfg3 = load_config_with_snapshot(
+      ["--basedir", str(tmp_path), "--expname", "e1",
+       "--depth_conf", "False"])
+  assert cfg3.depth_conf is False and cfg3.conf_num == 2
+  # no snapshot -> plain load_config behavior
+  cfg4 = load_config_with_snapshot(
+      ["--basedir", str(tmp_path), "--expname", "missing"])
+  assert cfg4.depth_conf is False
