@@ -22,9 +22,22 @@ def init_multihost(coordinator_address: Optional[str] = None,
 
   No-op on single-host (the common case in tests/dev). On Cloud TPU
   pods the arguments are auto-detected from the metadata server.
+
+  On the CPU backend (multi-process tests without TPU hardware —
+  tests/test_multiprocess_dcn.py) cross-process collectives need the
+  gloo implementation; enable it before the backend initializes. This
+  mirrors the fake-backend strategy of the virtual mesh (SURVEY §4(c))
+  one level up: N real OS processes over the coordination service, the
+  actual DCN code path.
   """
   if num_processes is not None and num_processes <= 1:
     return False
+  import os
+  if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    try:
+      jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except (AttributeError, ValueError):
+      pass  # older/newer jax without the knob; initialize still works
   try:
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
