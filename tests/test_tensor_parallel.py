@@ -146,3 +146,29 @@ def test_grid_table_sharded_over_model_axis():
   assert found, "no hash table found in state"
   for s in found:
     assert s.spec[0] == MODEL_AXIS, s.spec
+
+
+def test_tp_eval_render_matches_replicated():
+  """Forward-only TP: render a full image with model-axis-sharded params
+  and compare to the replicated render."""
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.train.renderer import make_eval_render_fn, render_image
+  scene, dev, tcfg, model, pose_model, state = _setup(n_rgb=32)
+  H, W = scene.hw
+  rays = rays_for_image(
+      jnp.asarray(scene.poses[0]), jnp.asarray(scene.intrinsics[0]),
+      H, W, scene.near, scene.far)
+
+  fn = make_eval_render_fn(model, state.params)
+  mesh_dp = make_mesh(jax.devices()[:8])
+  with mesh_dp:
+    ref = render_image(fn, rays, chunk=64, mesh=mesh_dp)
+
+  mesh_tp = make_mesh_2d(4, 2)
+  params_tp = jax.device_put(
+      state.params, state_shardings(state, mesh_tp).params)
+  fn_tp = make_eval_render_fn(model, params_tp)
+  with mesh_tp:
+    out = render_image(fn_tp, rays, chunk=64, mesh=mesh_tp)
+  np.testing.assert_allclose(np.asarray(ref["rgb"]),
+                             np.asarray(out["rgb"]), atol=2e-5)
