@@ -81,7 +81,8 @@ def main(argv=None):
   from snerf_tpu.data.raygen import rays_for_image
   from snerf_tpu.parallel import make_mesh
   from snerf_tpu.train import checkpoints as ckpt_lib
-  from snerf_tpu.train.renderer import make_eval_render_fn, render_image
+  from snerf_tpu.train.renderer import (
+      make_eval_render_fn, render_image, render_image_scan)
   from snerf_tpu.train.trainer import create_train_state
   from snerf_tpu.utils.metrics import MetricHarness
   from train import load_scene
@@ -156,7 +157,8 @@ def main(argv=None):
         jnp.asarray(pose), jnp.asarray(scene.intrinsics[ti]),
         H, W, scene.near, scene.far,
         render_factor=cfg.render_factor)
-    out = render_image(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
+    render = render_image_scan if cfg.scan_render else render_image
+    out = render(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
     gt = scene.images[ti].astype(np.float32) / 255.0
     if cfg.render_factor:
       import cv2

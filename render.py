@@ -30,7 +30,7 @@ def main(argv=None):
   from snerf_tpu.data.waymo import generate_random_render_poses, render2raw
   from snerf_tpu.parallel import make_mesh
   from snerf_tpu.train import checkpoints as ckpt_lib
-  from snerf_tpu.train.renderer import render_image
+  from snerf_tpu.train.renderer import render_image, render_image_scan
   from train import load_scene
 
   # render-only extra flags
@@ -129,7 +129,8 @@ def main(argv=None):
     rays = rays_for_image(
         jnp.asarray(poses[i]), jnp.asarray(Ks[i]), hi, wi,
         scene.near, scene.far, render_factor=cfg.render_factor)
-    out = render_image(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
+    render = render_image_scan if cfg.scan_render else render_image
+    out = render(render_fn, rays, chunk=cfg.chunk, mesh=mesh)
     imageio.imwrite(
         os.path.join(out_dir, "rgb", f"{i:05d}.png"),
         (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))

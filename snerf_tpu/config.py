@@ -154,6 +154,10 @@ class Config:
   lpips: bool = False              # optional perceptual metric (see
                                    # MetricHarness docstring)
   chunk: int = 4096
+  # On-device lax.scan whole-image render (one dispatch instead of one
+  # host round trip per chunk) — the TPU-first eval path; set False to
+  # fall back to the reference-style chunked host loop.
+  scan_render: bool = True
   render_factor: int = 0
   eval_test: bool = True
   eval_train: bool = False

@@ -11,6 +11,7 @@ sharding IS the context-parallelism analog here, no halo needed).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -56,6 +57,74 @@ def render_image(render_fn: Callable[[Rays], dict],
   flat = jax.tree_util.tree_map(
       lambda x: x.reshape(-1, x.shape[-1]), rays)
   out = render_rays_chunked(render_fn, flat, chunk=chunk, mesh=mesh)
+  return jax.tree_util.tree_map(
+      lambda x: x.reshape(H, W, *x.shape[1:]), out)
+
+
+def render_rays_scan(render_fn: Callable[[Rays], dict],
+                     rays: Rays,
+                     chunk: int = 4096,
+                     mesh=None):
+  """On-device whole-bundle render: lax.scan over chunks, ONE dispatch.
+
+  The chunked host loop costs one host<->device round trip per chunk
+  (the reference pattern, models.py:328-360). Here the whole flat ray
+  bundle is padded to a chunk multiple, reshaped to [n_chunks, chunk],
+  and a lax.scan applies the per-chunk render on device — the image
+  never leaves HBM until one final fetch. On the tunneled v5e this
+  removes ~25 ms RTT per chunk (12 round trips for a 256x384 image);
+  serving-path win, same numerics.
+
+  render_fn must be jit-compatible (NOT pre-jitted is fine too) and
+  hashable-stable across calls (pass the same function object to reuse
+  the compile). Returns dict of np arrays [N, ...].
+  """
+  n = rays.origins.shape[0]
+  n_dev = mesh.devices.size if mesh is not None else 1
+  chunk = max(((chunk + n_dev - 1) // n_dev) * n_dev, n_dev)
+  n_pad = ((n + chunk - 1) // chunk) * chunk
+  flat = pad_rays(rays, n_pad)
+  n_chunks = n_pad // chunk
+  batched = jax.tree_util.tree_map(
+      lambda x: x.reshape(n_chunks, chunk, *x.shape[1:]), flat)
+
+  shard = None
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    batched = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batched)
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+  out = _scan_render(batched, render_fn, shard)
+  return jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), out)
+
+
+@functools.partial(jax.jit, static_argnames=("render_fn", "shard"))
+def _scan_render(batched, render_fn, shard):
+  """Module-level jit so repeated renders (per-image eval loops) reuse
+  the compiled scan instead of retracing a per-call closure — one
+  compile per (render_fn, shapes, sharding)."""
+  def body(_, r):
+    out = render_fn(r)
+    if shard is not None:
+      out = jax.tree_util.tree_map(
+          lambda x: jax.lax.with_sharding_constraint(x, shard), out)
+    return 0, out
+  _, outs = jax.lax.scan(body, 0, batched)
+  return jax.tree_util.tree_map(
+      lambda x: x.reshape(-1, *x.shape[2:]), outs)
+
+
+def render_image_scan(render_fn: Callable[[Rays], dict],
+                      rays: Rays,
+                      chunk: int = 4096,
+                      mesh=None):
+  """render_image via the single-dispatch on-device scan path."""
+  H, W = rays.origins.shape[:2]
+  flat = jax.tree_util.tree_map(
+      lambda x: x.reshape(-1, x.shape[-1]), rays)
+  out = render_rays_scan(render_fn, flat, chunk=chunk, mesh=mesh)
   return jax.tree_util.tree_map(
       lambda x: x.reshape(H, W, *x.shape[1:]), out)
 

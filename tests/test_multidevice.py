@@ -85,3 +85,38 @@ def test_scan_loop_matches_per_step():
       np.asarray(s_loop.params["mlp"]["rgb"]["bias"]),
       np.asarray(s_seq.params["mlp"]["rgb"]["bias"]), atol=1e-6)
   assert int(s_loop.step) == 4
+
+
+def test_render_scan_matches_chunked():
+  """render_image_scan (one on-device lax.scan dispatch) == render_image
+  (host chunk loop), including the pad/trim path (N not a chunk
+  multiple) and mesh sharding."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.parallel import make_mesh
+  from snerf_tpu.models.mipnerf import MipNerfConfig, init_model
+  from snerf_tpu.train.renderer import (
+      make_eval_render_fn, render_image, render_image_scan)
+
+  scene = make_synthetic_scene(num_images=3, H=20, W=26)  # 520 rays
+  cfg = MipNerfConfig(num_samples=4, num_fine=4, hidden_layer=16,
+                      proposal_hidden_layer=16, density_noise=0.0)
+  model, variables = init_model(jax.random.PRNGKey(0), cfg, num_rays=4)
+  fn = make_eval_render_fn(model, variables["params"])
+  rays = rays_for_image(
+      jnp.asarray(scene.poses[0]), jnp.asarray(scene.intrinsics[0]),
+      20, 26, scene.near, scene.far)
+  mesh = make_mesh(jax.devices()[:8])
+  with mesh:
+    a = render_image(fn, rays, chunk=128, mesh=mesh)
+    b = render_image_scan(fn, rays, chunk=128, mesh=mesh)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-5, err_msg=k)
+  # no-mesh path too
+  c = render_image_scan(fn, rays, chunk=96)
+  np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(c["rgb"]),
+                             atol=1e-5)
