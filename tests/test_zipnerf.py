@@ -172,3 +172,28 @@ def _ref_mlp(x, Ws, bs):
   for i in range(Ws.shape[0]):
     h = jnp.maximum(h @ Ws[i] + bs[i], 0.0)
   return h
+
+
+def test_hash_encode_input_gradient_matches_fd():
+  """dL/dx through the trilinear weights (the pose-refinement path,
+  reference grid.py:49-54 inputs.requires_grad): analytic jax.grad vs
+  central finite differences. The gather indices are non-differentiable
+  (as in the reference); the weights carry the input gradient."""
+  import jax
+  spec = make_grid_spec(num_levels=3, level_dim=2, base_resolution=4,
+                        desired_resolution=16, log2_hashmap_size=8)
+  key = jax.random.PRNGKey(3)
+  table = jax.random.normal(key, (spec.total_rows, 2)) * 0.3
+  x0 = jnp.array([[0.331, 0.562, 0.714]])
+
+  def f(x):
+    return jnp.sum(hash_encode(x, table, spec) ** 2)
+
+  g = jax.grad(f)(x0)
+  assert np.isfinite(np.asarray(g)).all()
+  eps = 1e-4
+  for d in range(3):
+    e = jnp.zeros((1, 3)).at[0, d].set(eps)
+    fd = (f(x0 + e) - f(x0 - e)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g[0, d]), np.asarray(fd),
+                               rtol=2e-2, atol=1e-4)
