@@ -158,6 +158,10 @@ class Config:
   # host round trip per chunk) — the TPU-first eval path; set False to
   # fall back to the reference-style chunked host loop.
   scan_render: bool = True
+  # Tensor parallelism: shard the wide MLP trunks (+ hash table rows)
+  # over a model mesh axis of this size (parallel/tp.py). 1 = pure data
+  # parallel (the reference's only mode). Device count must divide.
+  tp: int = 1
   render_factor: int = 0
   eval_test: bool = True
   eval_train: bool = False
@@ -414,20 +418,36 @@ def load_config(argv: Optional[List[str]] = None,
 
 
 def load_config_with_snapshot(argv=None) -> Config:
-  """load_config, but with the experiment's args.txt snapshot (written by
-  snapshot_config at train time) as the lowest-priority defaults.
+  """load_config, but based on the experiment's args.txt snapshot
+  (written by snapshot_config at train time) when one exists.
 
   Eval/render must rebuild the EXACT train-time state structure (e.g. a
   --depth_conf run adds conf_params/conf_opt_state to the checkpoint
-  tree); reading the snapshot makes that automatic instead of requiring
-  the user to repeat every structural flag (reference parity: eval.py
-  reloads args from the exp dir too). Priority: CLI > --config file >
-  snapshot > dataclass defaults.
+  tree, --hidden_layer changes every kernel shape); the snapshot IS the
+  fully-resolved train-time config, so it outranks the --config file
+  (which the first pass only uses to locate basedir/expname — its other
+  values were already folded into the snapshot at train time, and any
+  later edits to it must not silently diverge from the checkpoint).
+  Priority: fresh CLI flags > snapshot > --config file > defaults.
   """
   cfg = load_config(argv)
   snap = os.path.join(cfg.exp_dir(), "args.txt")
   if os.path.exists(snap):
-    cfg = load_config(argv, defaults=parse_config_file(snap))
+    # re-parse with the snapshot as the base and WITHOUT the --config
+    # file (its contents are already inside the snapshot).
+    rest = []
+    args = list(argv) if argv is not None else []
+    i = 0
+    while i < len(args):
+      if args[i] == "--config":
+        i += 2
+        continue
+      if args[i].startswith("--config="):
+        i += 1
+        continue
+      rest.append(args[i])
+      i += 1
+    cfg = load_config(rest, defaults=parse_config_file(snap))
   return cfg
 
 

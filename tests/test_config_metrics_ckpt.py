@@ -244,3 +244,25 @@ def test_load_config_with_snapshot_restores_structure_flags(tmp_path):
   cfg4 = load_config_with_snapshot(
       ["--basedir", str(tmp_path), "--expname", "missing"])
   assert cfg4.depth_conf is False
+
+
+def test_cli_zip_render_from_snapshot(tmp_path):
+  """render.py restores a zip-nerf experiment WITHOUT repeating any
+  structural flag: model/zip_* come from the args.txt snapshot (the
+  snapshot outranks the --config file; fresh CLI flags outrank both)."""
+  import train as T
+  import render as R
+  base = str(tmp_path)
+  T.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--model", "zipnerf", "--zip_batch_size", "16",
+          "--zip_num_prop_samples", "(4,4)", "--zip_num_nerf_samples", "4",
+          "--zip_sample_n", "2", "--zip_grid_num_levels", "3",
+          "--zip_log2_hashmap_size", "10", "--zip_bottleneck_width", "16",
+          "--zip_prop_grid_resolutions", "(32,64)",
+          "--zip_nerf_grid_resolution", "128",
+          "--zip_max_steps", "4", "--i_weights", "4", "--i_print", "4"])
+  R.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--render_mode", "test", "--render_n", "1"])
+  out = os.path.join(base, "synthetic_tiny", "render")
+  assert os.listdir(os.path.join(out, "rgb"))
+  assert os.listdir(os.path.join(out, "depth"))

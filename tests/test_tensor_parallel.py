@@ -172,3 +172,23 @@ def test_tp_eval_render_matches_replicated():
     out = render_image(fn_tp, rays, chunk=64, mesh=mesh_tp)
   np.testing.assert_allclose(np.asarray(ref["rgb"]),
                              np.asarray(out["rgb"]), atol=2e-5)
+
+
+def test_train_cli_with_tp(tmp_path):
+  """End-to-end: `train.py --tp 2` trains on a 4x2 mesh; the checkpoint
+  restores and evals on the default (replicated) path."""
+  import train as T
+  import eval as E
+  base = str(tmp_path)
+  args = ["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--N_iters", "20", "--i_weights", "20", "--i_print", "20",
+          "--N_samples", "6", "--N_fine", "6", "--hidden_layer", "32",
+          "--proposal_hidden_layer", "16", "--N_rgb", "64"]
+  T.main(args + ["--tp", "2"])
+  import os
+  ckpt_dir = os.path.join(base, "synthetic_tiny", "checkpoints")
+  assert os.path.isdir(ckpt_dir)
+  # eval restores the TP-trained checkpoint (snapshot carries --tp but
+  # eval builds its own mesh; restored arrays are host-replicated)
+  E.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--tp", "1"])

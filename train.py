@@ -15,6 +15,34 @@ import sys
 import time
 
 
+def build_mesh_and_place(cfg, state, resumed: bool):
+  """Device mesh from config (+ state placement).
+
+  --tp N > 1 builds a 2-D (data, model) mesh and shards the wide MLP /
+  hash table over the model axis (parallel/tp.py — a TPU extension, the
+  reference has no TP). Otherwise a 1-D data mesh; on resume the
+  orbax-restored (device-0) state is re-replicated over it.
+  """
+  import jax
+  n = len(jax.devices())
+  if n <= 1:
+    return None, state
+  tp = max(int(getattr(cfg, "tp", 1) or 1), 1)
+  if tp > 1:
+    if n % tp:
+      raise ValueError(f"--tp {tp} does not divide {n} devices")
+    from snerf_tpu.parallel import make_mesh_2d, shard_state
+    mesh = make_mesh_2d(n // tp, tp)
+    return mesh, shard_state(state, mesh)
+  from snerf_tpu.parallel import make_mesh, replicate_sharding
+  mesh = make_mesh()
+  if resumed:
+    # orbax restores onto device 0; replicate over the mesh so the
+    # sharded step accepts it
+    state = jax.device_put(state, replicate_sharding(mesh))
+  return mesh, state
+
+
 def load_scene(cfg):
   if cfg.dataset_type == "synthetic":
     from snerf_tpu.data import make_synthetic_scene
@@ -57,7 +85,7 @@ def main(argv=None):
 
   from snerf_tpu.config import load_config, snapshot_config
   from snerf_tpu.data.sampler import scene_to_device
-  from snerf_tpu.parallel import make_mesh
+
   from snerf_tpu.train import checkpoints as ckpt_lib
   from snerf_tpu.train.trainer import create_train_state, make_train_step
 
@@ -102,12 +130,7 @@ def main(argv=None):
 
   from snerf_tpu.utils.logging import ExperimentLogger
   logger = ExperimentLogger(exp_dir)
-  mesh = make_mesh() if len(jax.devices()) > 1 else None
-  if mesh is not None and start_step > 0:
-    # orbax restores onto device 0; replicate over the mesh so the
-    # sharded step accepts it
-    from snerf_tpu.parallel import replicate_sharding
-    state = jax.device_put(state, replicate_sharding(mesh))
+  mesh, state = build_mesh_and_place(cfg, state, resumed=start_step > 0)
   ctx = mesh or _nullcontext()
   with ctx:
     unroll = max(int(cfg.unroll_steps), 1)
@@ -222,7 +245,7 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
   """zip-nerf (S-NeRF++ background) training path
   (parity: s-nerfpp/zipnerf/train.py main loop)."""
   import jax
-  from snerf_tpu.parallel import make_mesh
+
   from snerf_tpu.train import checkpoints as ckpt_lib
   from snerf_tpu.train.zip_trainer import (
       create_zip_train_state, make_zip_train_step)
@@ -238,12 +261,7 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
       start_step = int(restored)
       print(f"resumed from step {start_step}")
 
-  mesh = make_mesh() if len(jax.devices()) > 1 else None
-  if mesh is not None and start_step > 0:
-    # orbax restores onto device 0; replicate over the mesh so the
-    # sharded step accepts it (same fix as the mipnerf path above)
-    from snerf_tpu.parallel import replicate_sharding
-    state = jax.device_put(state, replicate_sharding(mesh))
+  mesh, state = build_mesh_and_place(cfg, state, resumed=start_step > 0)
   ctx = mesh or _nullcontext()
   with ctx:
     step_fn = make_zip_train_step(model, mcfg, tcfg, dev_scene,
