@@ -10,7 +10,6 @@ data-parallel run numerically.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from snerf_tpu.data import make_synthetic_scene
 from snerf_tpu.data.sampler import scene_to_device
