@@ -147,6 +147,28 @@ def make_eval_render_fn(model, params, white_bkgd: bool = False,
   return render_fn
 
 
+@functools.lru_cache(maxsize=8)
+def make_param_render_fn(model, white_bkgd: bool = False):
+  """Like make_eval_render_fn but params are an ARGUMENT: the compile is
+  reused across parameter values (periodic in-training evals would
+  otherwise retrace per call — params were baked in as constants).
+  flax modules are frozen dataclasses, so the lru_cache key is stable
+  per model configuration."""
+
+  @jax.jit
+  def render_fn(params, rays: Rays):
+    ret = model.apply({"params": params}, rays, rng=None,
+                      white_bkgd=white_bkgd)
+    fine = ret[-1]
+    out = {"rgb": fine["rgb"], "distance": fine["distance"][..., None],
+           "acc": fine["acc"][..., None]}
+    if fine.get("semantic") is not None:
+      out["semantic"] = fine["semantic"]
+    return out
+
+  return render_fn
+
+
 def pred2real(pred_distance, near, far):
   """Disparity-space prediction -> metric depth (eval.py:28-30 parity):
   d = 1 / (s/far + (1-s)/near). Only used for models whose rendered

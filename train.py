@@ -200,8 +200,10 @@ def _eval_one_view(model, params, scene, cfg):
   import jax.numpy as jnp
   import numpy as np
 
+  import functools
+
   from snerf_tpu.data.raygen import rays_for_image
-  from snerf_tpu.train.renderer import make_eval_render_fn, render_image
+  from snerf_tpu.train.renderer import make_param_render_fn, render_image
 
   ti = int(scene.i_test[0])
   H, W = scene.hw
@@ -209,8 +211,10 @@ def _eval_one_view(model, params, scene, cfg):
       jnp.asarray(scene.poses[ti]), jnp.asarray(scene.intrinsics[ti]),
       H, W, scene.near, scene.far,
       render_factor=max(cfg.render_factor, 1) if H * W > 64 * 64 else 0)
-  render_fn = make_eval_render_fn(model, params,
-                                  white_bkgd=cfg.white_bkgd)
+  # params passed as an argument (not baked in) so the SAME compile
+  # serves every periodic eval of the run.
+  render_fn = functools.partial(
+      make_param_render_fn(model, cfg.white_bkgd), params)
   out = render_image(render_fn, rays, chunk=cfg.chunk)
   gt = scene.images[ti].astype(np.float32) / 255.0
   if out["rgb"].shape[:2] != gt.shape[:2]:
