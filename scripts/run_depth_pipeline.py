@@ -28,12 +28,12 @@ def main():
   p.add_argument("--datadir", required=True,
                  help="dir with <cam>/frames.npz per camera")
   p.add_argument("--outdir", required=True)
-  p.add_argument("--flow", default="farneback",
-                 choices=["farneback", "none"])
+  p.add_argument("--flow", default="tpu",
+                 choices=["tpu", "farneback", "none"])
   p.add_argument("--workers", type=int, default=6)
   args = p.parse_args()
 
-  from snerf_tpu.preprocess.flow import farneback_flow_fn
+  from snerf_tpu.preprocess.flow import farneback_flow_fn, tpu_flow_fn
   from snerf_tpu.preprocess.pipeline import FrameData, run_scene_pipeline
 
   camera_frames = {}
@@ -53,7 +53,9 @@ def main():
   if not camera_frames:
     sys.exit(f"no <cam>/frames.npz bundles under {args.datadir}")
 
-  if args.flow == "farneback":
+  if args.flow == "tpu":
+    flow_fn = tpu_flow_fn
+  elif args.flow == "farneback":
     flow_fn = farneback_flow_fn
   else:
     flow_fn = lambda a, b: np.zeros(a.shape[:2] + (2,), np.float32)

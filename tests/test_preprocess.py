@@ -164,6 +164,36 @@ def test_farneback_flow_recovers_translation():
   assert abs(np.median(inner) - s) < 1.5, np.median(inner)
 
 
+def test_tpu_flow_recovers_translation():
+  """XLA-native pyramidal LK: subpixel 2-D shift within ~0.5 px, and
+  convention (dx, dy) matches farneback's."""
+  from snerf_tpu.preprocess.flow import tpu_flow_fn
+  from scipy.ndimage import gaussian_filter, shift as ndshift
+  rng = np.random.RandomState(0)
+  H, W = 72, 96
+  base = gaussian_filter(rng.rand(H, W).astype(np.float32), 2.0)
+  dx, dy = 4.5, -2.25
+  shifted = ndshift(base, (dy, dx), order=1, mode="nearest")
+  flow = tpu_flow_fn(base, shifted)
+  assert flow.shape == (H, W, 2)
+  inner = flow[16:-16, 16:-16]
+  assert abs(np.median(inner[..., 0]) - dx) < 0.5, np.median(inner[..., 0])
+  assert abs(np.median(inner[..., 1]) - dy) < 0.5, np.median(inner[..., 1])
+
+
+def test_tpu_flow_large_shift_needs_pyramid():
+  """A shift larger than the LK window converges only via the pyramid."""
+  from snerf_tpu.preprocess.flow import tpu_flow_fn
+  from scipy.ndimage import gaussian_filter
+  rng = np.random.RandomState(1)
+  H, W, s = 96, 128, 24
+  base = gaussian_filter(rng.rand(H, W).astype(np.float32), 3.0)
+  shifted = np.roll(base, s, axis=1)
+  flow = tpu_flow_fn(base, shifted, levels=5)
+  inner = flow[24:-24, 32:-32, 0]
+  assert abs(np.median(inner) - s) < 2.0, np.median(inner)
+
+
 def test_model_flow_fn_contract():
   from snerf_tpu.preprocess.flow import make_model_flow_fn
   import pytest as _pytest
