@@ -41,8 +41,11 @@ def refine_test_poses(model, params, scene, idxs, n_iters: int = 100,
   tx = optax.adam(lr)
   opt = tx.init(pose_params)
 
+  # model params + images are jit ARGUMENTS, not closure constants —
+  # closure device arrays embed into the HLO body (remote-compile 413
+  # over the tunneled TPU for hash-table-sized params; PERF.md).
   @jax.jit
-  def step(pose_params, opt, key):
+  def step(nerf_params, imgs, pose_params, opt, key):
     k_img, k_pix = jax.random.split(key)
     img_i = jax.random.randint(k_img, (), 0, n)
     pix = jax.random.randint(k_pix, (n_rays,), 0, H * W)
@@ -54,9 +57,9 @@ def refine_test_poses(model, params, scene, idxs, n_iters: int = 100,
                             py.astype(jnp.float32),
                             table[img_i], Ks[img_i],
                             scene.near, scene.far)
-      ret = model.apply({"params": params}, rays, rng=None,
+      ret = model.apply({"params": nerf_params}, rays, rng=None,
                         white_bkgd=white_bkgd)
-      tgt = images[img_i, py, px].astype(jnp.float32) / 255.0
+      tgt = imgs[img_i, py, px].astype(jnp.float32) / 255.0
       return jnp.mean((ret[-1]["rgb"] - tgt) ** 2)
 
     loss, g = jax.value_and_grad(loss_fn)(pose_params)
@@ -66,7 +69,7 @@ def refine_test_poses(model, params, scene, idxs, n_iters: int = 100,
   key = jax.random.PRNGKey(1)
   for _ in range(n_iters):
     key, k = jax.random.split(key)
-    pose_params, opt, loss = step(pose_params, opt, k)
+    pose_params, opt, loss = step(params, images, pose_params, opt, k)
   table = pose_model.apply({"params": pose_params}, jnp.arange(n),
                            init_poses)
   return np.asarray(table)
@@ -93,19 +96,29 @@ def main(argv=None):
 
   scene = load_scene(cfg)
   step = None if cfg.ckpt < 0 else cfg.ckpt
-  if cfg.model == "zipnerf":
-    from snerf_tpu.train.zip_trainer import create_zip_train_state
-    zmcfg = cfg.zip_model_config()
-    ztcfg = cfg.zip_train_config()
-    model, state = create_zip_train_state(jax.random.PRNGKey(0), zmcfg,
-                                          ztcfg)
-  else:
-    from train import build_model_state
-    model, pose_model, state = build_model_state(
-        cfg, cfg.train_config(), scene.num_images)
-  state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
+  # Init on host + restore to host, then one batched device_put of the
+  # params (skips the remote init compile and the per-shard H2D of the
+  # optimizer moments — eval only needs params).
+  with jax.default_device(jax.devices("cpu")[0]):
+    if cfg.model == "zipnerf":
+      import dataclasses
+      from snerf_tpu.train.zip_trainer import create_zip_train_state
+      # f32 activations at eval: bf16 compute_dtype costs 5x in XLA
+      # compile time (PERF.md) and buys nothing forward-only.
+      zmcfg = dataclasses.replace(cfg.zip_model_config(),
+                                  compute_dtype=jnp.float32)
+      ztcfg = cfg.zip_train_config()
+      model, state = create_zip_train_state(jax.random.PRNGKey(0), zmcfg,
+                                            ztcfg)
+    else:
+      from train import build_model_state
+      model, pose_model, state = build_model_state(
+          cfg, cfg.train_config(), scene.num_images)
+  state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
+                                                step=step, host=True)
   if restored is None:
     raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+  state = state.replace(params=jax.device_put(state.params))
   print(f"evaluating checkpoint step {restored}")
 
   out_dir = os.path.join(exp_dir, f"testset_{restored:06d}")
@@ -128,15 +141,20 @@ def main(argv=None):
   if cfg.model == "zipnerf":
     params = state.params
 
+    import functools
+    # params as a jit ARGUMENT (closure constants embed the hash tables
+    # into the HLO -> remote-compile 413 over the tunnel, PERF.md)
     @jax.jit
-    def render_fn(rays):
-      rend, _ = model.apply({"params": params}, rays, rng=None)
+    def _render_zip(p, rays):
+      rend, _ = model.apply({"params": p}, rays, rng=None)
       out = {"rgb": rend[-1]["rgb"],
              "distance": rend[-1]["depth"][..., None],
              "acc": rend[-1]["acc"][..., None]}
       if rend[-1].get("semantic") is not None:
         out["semantic"] = rend[-1]["semantic"]
       return out
+
+    render_fn = functools.partial(_render_zip, params)
   else:
     render_fn = make_eval_render_fn(model, state.params,
                                     white_bkgd=cfg.white_bkgd)

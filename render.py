@@ -51,16 +51,26 @@ def main(argv=None):
 
   scene = load_scene(cfg)
   step = None if cfg.ckpt < 0 else cfg.ckpt
-  if cfg.model == "zipnerf":
-    from snerf_tpu.train.zip_trainer import create_zip_train_state
-    model, state = create_zip_train_state(
-        jax.random.PRNGKey(0), cfg.zip_model_config(),
-        cfg.zip_train_config())
-  else:
-    from train import build_model_state
-    model, _, state = build_model_state(cfg, cfg.train_config(),
-                                        scene.num_images)
-  state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state, step=step)
+  # Init on host + restore to host: skips a remote init compile and the
+  # shard-by-shard device_put of the optimizer moments (render only
+  # needs params; see checkpoints._host_target).
+  with jax.default_device(jax.devices("cpu")[0]):
+    if cfg.model == "zipnerf":
+      import dataclasses
+      from snerf_tpu.train.zip_trainer import create_zip_train_state
+      # Forward-only paths run f32 activations: bf16 compute_dtype
+      # quintuples the XLA compile (464s vs 90s measured, PERF.md) for
+      # zero steady-state gain, and render recompiles per image shape.
+      zmcfg = dataclasses.replace(cfg.zip_model_config(),
+                                  compute_dtype=jnp.float32)
+      model, state = create_zip_train_state(
+          jax.random.PRNGKey(0), zmcfg, cfg.zip_train_config())
+    else:
+      from train import build_model_state
+      model, _, state = build_model_state(cfg, cfg.train_config(),
+                                          scene.num_images)
+  state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
+                                                step=step, host=True)
   if restored is None:
     raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
   print(f"rendering from checkpoint step {restored}")
@@ -107,16 +117,21 @@ def main(argv=None):
     poses = scene.poses[idxs]
     Ks = scene.intrinsics[idxs]
 
-  params = state.params
+  import functools
+  params = jax.device_put(state.params)  # one batched host->device move
   if cfg.model == "zipnerf":
+    # params as a jit ARGUMENT (closure constants embed the hash tables
+    # into the HLO -> remote-compile 413 over the tunnel, PERF.md)
     @jax.jit
-    def render_fn(rays):
-      rend, _ = model.apply({"params": params}, rays, rng=None)
+    def _render_zip(p, rays):
+      rend, _ = model.apply({"params": p}, rays, rng=None)
       out = {"rgb": rend[-1]["rgb"],
              "distance": rend[-1]["depth"][..., None]}
       if rend[-1].get("semantic") is not None:
         out["semantic"] = rend[-1]["semantic"]
       return out
+
+    render_fn = functools.partial(_render_zip, params)
   else:
     from snerf_tpu.train.renderer import make_eval_render_fn
     render_fn = make_eval_render_fn(model, params,

@@ -38,16 +38,40 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
   return mngr.latest_step()
 
 
+def _host_target(target: Any) -> Any:
+  """Mirror `target` with host (numpy) leaves so orbax restores straight
+  to host RAM instead of device_put-ing every shard onto the accelerator.
+
+  Over the tunneled TPU a direct-to-device restore of a full train state
+  (params + two Adam moment trees, incl. multi-MB hash tables) takes
+  minutes; restore-to-host + ONE batched jax.device_put of the subtree
+  the caller actually needs is the fast path.
+  """
+  import jax
+  import numpy as np
+
+  def conv(x):
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+      return np.empty(x.shape, x.dtype)
+    return x
+
+  return jax.tree_util.tree_map(conv, target)
+
+
 def restore_checkpoint(ckpt_dir: str, target: Any,
-                       step: Optional[int] = None):
+                       step: Optional[int] = None, host: bool = False):
   """Restore the given (or latest) step into the structure of `target`.
 
+  host=True restores to numpy on the host (no accelerator transfers);
+  the caller device_puts whatever subtree it needs in one batch.
   Returns (state, step) or (target, None) when no checkpoint exists.
   """
   mngr = _manager(ckpt_dir)
   step = step if step is not None else mngr.latest_step()
   if step is None:
     return target, None
+  if host:
+    target = _host_target(target)
   restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
   return restored, step
 

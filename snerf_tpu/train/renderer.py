@@ -96,17 +96,26 @@ def render_rays_scan(render_fn: Callable[[Rays], dict],
         lambda x: jax.device_put(x, sh), batched)
     shard = NamedSharding(mesh, P(mesh.axis_names[0]))
 
-  out = _scan_render(batched, render_fn, shard)
+  # A functools.partial render_fn (the params-as-argument pattern) is
+  # split so its bound arrays enter the scan jit as TRACED inputs; as a
+  # plain closure they would lower to HLO constants — multi-MB params
+  # embedded in the program body, which the tunneled TPU's
+  # remote-compile endpoint rejects (HTTP 413, PERF.md).
+  if isinstance(render_fn, functools.partial) and not render_fn.keywords:
+    fn, bound = render_fn.func, render_fn.args
+  else:
+    fn, bound = render_fn, ()
+  out = _scan_render(batched, fn, shard, *bound)
   return jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), out)
 
 
 @functools.partial(jax.jit, static_argnames=("render_fn", "shard"))
-def _scan_render(batched, render_fn, shard):
+def _scan_render(batched, render_fn, shard, *bound):
   """Module-level jit so repeated renders (per-image eval loops) reuse
   the compiled scan instead of retracing a per-call closure — one
   compile per (render_fn, shapes, sharding)."""
   def body(_, r):
-    out = render_fn(r)
+    out = render_fn(*bound, r)
     if shard is not None:
       out = jax.tree_util.tree_map(
           lambda x: jax.lax.with_sharding_constraint(x, shard), out)
@@ -131,11 +140,18 @@ def render_image_scan(render_fn: Callable[[Rays], dict],
 
 def make_eval_render_fn(model, params, white_bkgd: bool = False,
                         viewc=None):
-  """Jitted deterministic render of the fine level (eval.py:133-169)."""
+  """Jitted deterministic render of the fine level (eval.py:133-169).
+
+  params are bound via functools.partial over a params-as-ARGUMENT jit,
+  NOT a closure: closed-over device arrays become HLO constants, which
+  (a) retraces per param value and (b) embeds multi-MB tables into the
+  program — the tunneled TPU's remote-compile endpoint rejects such
+  bodies outright (HTTP 413, PERF.md).
+  """
 
   @jax.jit
-  def render_fn(rays: Rays):
-    ret = model.apply({"params": params}, rays, rng=None,
+  def render_fn(p, rays: Rays):
+    ret = model.apply({"params": p}, rays, rng=None,
                       white_bkgd=white_bkgd, viewc=viewc)
     fine = ret[-1]
     out = {"rgb": fine["rgb"], "distance": fine["distance"][..., None],
@@ -144,7 +160,7 @@ def make_eval_render_fn(model, params, white_bkgd: bool = False,
       out["semantic"] = fine["semantic"]
     return out
 
-  return render_fn
+  return functools.partial(render_fn, params)
 
 
 @functools.lru_cache(maxsize=8)

@@ -107,6 +107,28 @@ def test_checkpoint_roundtrip(tmp_path):
   assert step == 12
 
 
+def test_checkpoint_host_restore(tmp_path):
+  """host=True restores numpy leaves (no accelerator transfers) with the
+  same values — the fast path for eval/render over the tunneled TPU."""
+  from snerf_tpu.train import checkpoints as C
+  state = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                      "b": jnp.ones((3,), jnp.bfloat16)},
+           "step": jnp.asarray(3)}
+  C.save_checkpoint(str(tmp_path / "ck"), state, step=3, wait=True)
+  restored, step = C.restore_checkpoint(str(tmp_path / "ck"), state,
+                                        host=True)
+  assert step == 3
+  assert isinstance(restored["params"]["w"], np.ndarray)
+  assert restored["params"]["b"].dtype == jnp.bfloat16
+  np.testing.assert_array_equal(restored["params"]["w"],
+                                np.arange(6.0).reshape(2, 3))
+  # numpy leaves feed a jitted step unchanged
+  import jax
+  out = jax.jit(lambda p: p["w"].sum())(
+      {"w": restored["params"]["w"]})
+  assert float(out) == 15.0
+
+
 def test_render_cli_random_mode(tmp_path):
   """render.py --render_mode random on the synthetic fixture."""
   import jax

@@ -26,6 +26,10 @@ def build_mesh_and_place(cfg, state, resumed: bool):
   import jax
   n = len(jax.devices())
   if n <= 1:
+    if resumed:
+      # host-restored (numpy) state -> one batched transfer now, so the
+      # first step doesn't pay an implicit per-leaf conversion
+      state = jax.device_put(state)
     return None, state
   tp = max(int(getattr(cfg, "tp", 1) or 1), 1)
   if tp > 1:
@@ -110,7 +114,8 @@ def main(argv=None):
 
   start_step = 0
   if cfg.resume:
-    state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+    state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
+                                                  host=True)
     if restored is not None:
       start_step = int(restored)
       print(f"resumed from step {start_step}")
@@ -260,7 +265,8 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
 
   start_step = 0
   if cfg.resume:
-    state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+    state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
+                                                  host=True)
     if restored is not None:
       start_step = int(restored)
       print(f"resumed from step {start_step}")
