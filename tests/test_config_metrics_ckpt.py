@@ -288,3 +288,27 @@ def test_cli_zip_render_from_snapshot(tmp_path):
   out = os.path.join(base, "synthetic_tiny", "render")
   assert os.listdir(os.path.join(out, "rgb"))
   assert os.listdir(os.path.join(out, "depth"))
+
+
+def test_cli_zip_periodic_test_render(tmp_path):
+  """zip training renders a held-out view every i_testset steps
+  (reference train_render_every, zipnerf/train.py:458-476) and logs
+  test_psnr."""
+  import json as _json
+
+  import train as T
+  base = str(tmp_path)
+  T.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--model", "zipnerf", "--zip_batch_size", "16",
+          "--zip_num_prop_samples", "(4,4)", "--zip_num_nerf_samples", "4",
+          "--zip_sample_n", "2", "--zip_grid_num_levels", "3",
+          "--zip_log2_hashmap_size", "10", "--zip_bottleneck_width", "16",
+          "--zip_prop_grid_resolutions", "(32,64)",
+          "--zip_nerf_grid_resolution", "128",
+          "--zip_max_steps", "4", "--i_weights", "4", "--i_print", "4",
+          "--i_testset", "2"])
+  log = os.path.join(base, "synthetic_tiny", "train_log.jsonl")
+  entries = [_json.loads(l) for l in open(log)]
+  psnrs = [e["test_psnr"] for e in entries if "test_psnr" in e]
+  assert len(psnrs) == 2  # steps 2 and 4
+  assert all(np.isfinite(p) for p in psnrs)
