@@ -112,6 +112,11 @@ class Config:
   i_print: int = 100
   i_weights: int = 5000
   i_testset: int = 200_000
+  # jax.profiler trace window: steps [profile_start, profile_start +
+  # profile_steps) are traced into <exp_dir>/profile (view with
+  # TensorBoard/xprof). 0 disables. SURVEY.md §5.1.
+  profile_steps: int = 0
+  profile_start: int = 20
   ckpt_keep: int = 3
   resume: bool = True
 

@@ -290,6 +290,21 @@ def test_cli_zip_render_from_snapshot(tmp_path):
   assert os.listdir(os.path.join(out, "depth"))
 
 
+def test_cli_profile_window(tmp_path):
+  """--profile_steps N captures a jax.profiler trace into
+  <exp_dir>/profile (SURVEY.md §5.1)."""
+  import glob
+
+  import train as T
+  base = str(tmp_path)
+  T.main(["--config", "configs/synthetic_tiny", "--basedir", base,
+          "--N_iters", "20", "--i_print", "10", "--i_weights", "20",
+          "--profile_steps", "4", "--profile_start", "8"])
+  traces = glob.glob(os.path.join(base, "synthetic_tiny", "profile",
+                                  "**", "*"), recursive=True)
+  assert traces, "no profiler trace files written"
+
+
 def test_cli_zip_periodic_test_render(tmp_path):
   """zip training renders a held-out view every i_testset steps
   (reference train_render_every, zipnerf/train.py:458-476) and logs

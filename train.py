@@ -156,7 +156,9 @@ def main(argv=None):
     rays_done = 0
     metrics = {}
     i = start_step
+    prof = _ProfileWindow(cfg, exp_dir)
     for i in range(start_step + unroll, cfg.N_iters + 1, unroll):
+      prof.tick(i)
       key, k = jax.random.split(key)
       if unroll > 1:
         state, metrics = loop_fn(state, k)
@@ -195,6 +197,7 @@ def main(argv=None):
                                         keep=cfg.ckpt_keep,
                                         wait=(i == cfg.N_iters))
         print(f"saved checkpoint at step {i}")
+    prof.close()
   logger.close()
   return state
 
@@ -281,7 +284,9 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
     key = jax.random.PRNGKey(start_step + 1)
     t0 = time.perf_counter()
     rays_done = 0
+    prof = _ProfileWindow(cfg, exp_dir)
     for i in range(start_step + 1, tcfg.max_steps + 1):
+      prof.tick(i)
       key, k = jax.random.split(key)
       state, metrics = step_fn(state, k)
       rays_done += tcfg.batch_size
@@ -307,7 +312,39 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
         ckpt_lib.save_checkpoint(ckpt_dir, state, i, keep=cfg.ckpt_keep,
                                  wait=(i == tcfg.max_steps))
         print(f"saved checkpoint at step {i}")
+    prof.close()
   return state
+
+
+class _ProfileWindow:
+  """jax.profiler trace over steps [profile_start, profile_start +
+  profile_steps) of a training run (SURVEY.md §5.1) — traces land in
+  <exp_dir>/profile for TensorBoard/xprof."""
+
+  def __init__(self, cfg, exp_dir):
+    self.n = int(getattr(cfg, "profile_steps", 0) or 0)
+    self.start = int(getattr(cfg, "profile_start", 20) or 0)
+    self.dir = os.path.join(exp_dir, "profile")
+    self.active = False
+
+  def tick(self, i):
+    if not self.n:
+      return
+    import jax
+    if not self.active and self.start <= i < self.start + self.n:
+      jax.profiler.start_trace(self.dir)
+      self.active = True
+      print(f"[profile] tracing steps {i}..{self.start + self.n - 1} "
+            f"-> {self.dir}")
+    elif self.active and i >= self.start + self.n:
+      jax.profiler.stop_trace()
+      self.active = False
+
+  def close(self):
+    if self.active:
+      import jax
+      jax.profiler.stop_trace()
+      self.active = False
 
 
 @functools.lru_cache(maxsize=4)
