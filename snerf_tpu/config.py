@@ -130,6 +130,8 @@ class Config:
   zip_num_nerf_samples: int = 32
   zip_glo_features: int = 0
   zip_encoder: str = "hash"       # hash (parity) | ipe (TPU-fast)
+  zip_ipe_density_width: int = 256  # IPE-backbone trunk width/depth
+  zip_ipe_density_depth: int = 4
   zip_sample_n: int = 7
   zip_grid_num_levels: int = 10
   zip_log2_hashmap_size: int = 21
@@ -229,6 +231,8 @@ class Config:
         num_levels=len(tuple(self.zip_num_prop_samples)) + 1,
         num_glo_features=self.zip_glo_features,
         encoder_type=self.zip_encoder,
+        ipe_density_width=self.zip_ipe_density_width,
+        ipe_density_depth=self.zip_ipe_density_depth,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,
