@@ -88,7 +88,8 @@ def main(argv=None):
       make_eval_render_fn, render_image, render_image_scan)
   from snerf_tpu.train.trainer import create_train_state
   from snerf_tpu.utils.metrics import MetricHarness
-  from train import load_scene
+  from snerf_tpu.utils.ref_import import repo_train_module
+  load_scene = repo_train_module().load_scene
 
   cfg = load_config_with_snapshot(argv)
   exp_dir = cfg.exp_dir()
@@ -111,8 +112,7 @@ def main(argv=None):
       model, state = create_zip_train_state(jax.random.PRNGKey(0), zmcfg,
                                             ztcfg)
     else:
-      from train import build_model_state
-      model, pose_model, state = build_model_state(
+      model, pose_model, state = repo_train_module().build_model_state(
           cfg, cfg.train_config(), scene.num_images)
   state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
                                                 step=step, host=True)

@@ -31,7 +31,8 @@ def main(argv=None):
   from snerf_tpu.parallel import make_mesh
   from snerf_tpu.train import checkpoints as ckpt_lib
   from snerf_tpu.train.renderer import render_image, render_image_scan
-  from train import load_scene
+  from snerf_tpu.utils.ref_import import repo_train_module
+  load_scene = repo_train_module().load_scene
 
   # render-only extra flags
   extra = {"render_n": 70, "render_mode": "test", "render_seed": 0,
@@ -66,9 +67,8 @@ def main(argv=None):
       model, state = create_zip_train_state(
           jax.random.PRNGKey(0), zmcfg, cfg.zip_train_config())
     else:
-      from train import build_model_state
-      model, _, state = build_model_state(cfg, cfg.train_config(),
-                                          scene.num_images)
+      model, _, state = repo_train_module().build_model_state(
+          cfg, cfg.train_config(), scene.num_images)
   state, restored = ckpt_lib.restore_checkpoint(ckpt_dir, state,
                                                 step=step, host=True)
   if restored is None:

@@ -31,18 +31,27 @@ from typing import Any, Dict
 import numpy as np
 
 
+_train_module_cache = None
+
+
 def _repo_train_module():
   """Load the repo's top-level train.py by path: a bare `import train`
   can resolve to the REFERENCE's train.py when tests put
   /root/reference/s-nerf on sys.path for parity checks."""
-  import importlib.util
-  root = os.path.dirname(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))))
-  spec = importlib.util.spec_from_file_location(
-      "_snerf_tpu_train_cli", os.path.join(root, "train.py"))
-  mod = importlib.util.module_from_spec(spec)
-  spec.loader.exec_module(mod)
-  return mod
+  global _train_module_cache
+  if _train_module_cache is None:
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    spec = importlib.util.spec_from_file_location(
+        "_snerf_tpu_train_cli", os.path.join(root, "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _train_module_cache = mod
+  return _train_module_cache
+
+
+repo_train_module = _repo_train_module
 
 
 def _strip_module(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
@@ -106,6 +115,112 @@ def map_confidence_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
   raise ValueError(f"no confidence weight table found in {sorted(sd)}")
 
 
+def map_zip_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+  """Reference zip-nerf Model state_dict -> our flax param tree.
+
+  Key layout (s-nerfpp/zipnerf/internal/models.py:64-77,354-480):
+    {nerf_mlp,prop_mlp_i}.encoder.embeddings  hash table [total, dim]
+      (same per-level offsets math as our GridSpec — grid.py:122-144
+      parity, so rows copy 1:1)
+    .density_layer.0 / .density_layer.2       -> density_hidden / _out
+    .lin_second_stage_{i}                     -> view_{i}
+    .rgb_layer                                -> rgb_out
+    .normal_layer / .roughness_layer          -> normals/roughness heads
+    .lin_glo_{i}                              -> glo_{i}
+    glo_vecs (model-level Embedding)          -> glo_vecs.embedding
+  Buffers (encoder.offsets/grid_sizes/idx) are skipped; any UNMAPPED
+  weight (e.g. scale_featurization or RefNeRF diffuse/specular
+  variants we don't model) raises instead of being dropped silently.
+  """
+  sd = _strip_module(sd)
+  used = set()
+
+  def dense(prefix):
+    used.update({prefix + ".weight", prefix + ".bias"})
+    return {"kernel": sd[prefix + ".weight"].T.copy(),
+            "bias": sd[prefix + ".bias"].copy()}
+
+  def one_mlp(p):
+    m = {}
+    if p + ".encoder.embeddings" in sd:
+      m["grid"] = {"table": np.asarray(sd[p + ".encoder.embeddings"],
+                                       np.float32)}
+      used.add(p + ".encoder.embeddings")
+    m["density_hidden"] = dense(p + ".density_layer.0")
+    m["density_out"] = dense(p + ".density_layer.2")
+    i = 0
+    while f"{p}.lin_second_stage_{i}.weight" in sd:
+      m[f"view_{i}"] = dense(f"{p}.lin_second_stage_{i}")
+      i += 1
+    for ref_name, ours in (("rgb_layer", "rgb_out"),
+                           ("normal_layer", "normals_head"),
+                           ("roughness_layer", "roughness_head")):
+      if f"{p}.{ref_name}.weight" in sd:
+        m[ours] = dense(f"{p}.{ref_name}")
+    j = 0
+    while f"{p}.lin_glo_{j}.weight" in sd:
+      m[f"glo_{j}"] = dense(f"{p}.lin_glo_{j}")
+      j += 1
+    return m
+
+  if "nerf_mlp.density_layer.0.weight" not in sd:
+    raise ValueError("not a reference zip-nerf Model state_dict "
+                     f"(keys: {sorted(sd)[:5]}...)")
+  out = {"nerf_mlp": one_mlp("nerf_mlp")}
+  i = 0
+  while f"prop_mlp_{i}.density_layer.0.weight" in sd:
+    out[f"prop_mlp_{i}"] = one_mlp(f"prop_mlp_{i}")
+    i += 1
+  if "glo_vecs.weight" in sd:
+    out["glo_vecs"] = {"embedding": sd["glo_vecs.weight"].copy()}
+    used.add("glo_vecs.weight")
+
+  leftovers = sorted(k for k in sd if k not in used
+                     and k.endswith((".weight", ".bias")))
+  if leftovers:
+    raise ValueError(
+        f"unmapped reference weights (unsupported variant?): {leftovers}")
+  return out
+
+
+def import_reference_zip_ckpt(ckpt_path: str, cfg):
+  """Load a reference zip-nerf checkpoint_<step>.ckpt, return
+  (flax TrainState, step). Same contract as import_reference_tar."""
+  import jax
+  import torch
+
+  from snerf_tpu.train.zip_trainer import create_zip_train_state
+
+  ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+  step = int(ckpt.get("step", 0))
+  params = map_zip_state_dict(ckpt.get("state_dict", ckpt))
+
+  with jax.default_device(jax.devices("cpu")[0]):
+    _, state = create_zip_train_state(
+        jax.random.PRNGKey(0), cfg.zip_model_config(),
+        cfg.zip_train_config())
+  _check_shapes(params, state.params)
+  return state.replace(params=params), step
+
+
+def _check_shapes(params, target_params):
+  import jax
+
+  def shapes(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(k): np.shape(v) for k, v in flat}
+
+  ref_shapes, ours_shapes = shapes(params), shapes(target_params)
+  if ref_shapes != ours_shapes:
+    diff = {k: (ref_shapes.get(k), ours_shapes.get(k))
+            for k in set(ref_shapes) | set(ours_shapes)
+            if ref_shapes.get(k) != ours_shapes.get(k)}
+    raise ValueError(
+        "imported parameter shapes do not match the config "
+        f"(imported vs config): {diff}\n"
+        "pass the experiment's own args.txt/config as --config")
+
+
 def import_reference_tar(tar_path: str, cfg, num_images: int):
   """Load a reference .tar, return (flax TrainState, step).
 
@@ -127,19 +242,7 @@ def import_reference_tar(tar_path: str, cfg, num_images: int):
   with jax.default_device(jax.devices("cpu")[0]):
     _, _, state = build_model_state(cfg, cfg.train_config(), num_images)
 
-  def shapes(tree):
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {jax.tree_util.keystr(k): np.shape(v) for k, v in flat}
-
-  ref_shapes, ours_shapes = shapes(params), shapes(state.params)
-  if ref_shapes != ours_shapes:
-    diff = {k: (ref_shapes.get(k), ours_shapes.get(k))
-            for k in set(ref_shapes) | set(ours_shapes)
-            if ref_shapes.get(k) != ours_shapes.get(k)}
-    raise ValueError(
-        "imported parameter shapes do not match the config "
-        f"(imported vs config): {diff}\n"
-        "pass the experiment's own args.txt/config as --config")
+  _check_shapes(params, state.params)
   state = state.replace(params=jax.tree_util.tree_map(
       lambda x: np.asarray(x), params))
 
