@@ -85,8 +85,8 @@ def main(argv=None):
   from snerf_tpu.parallel import make_mesh
   from snerf_tpu.train import checkpoints as ckpt_lib
   from snerf_tpu.train.renderer import (
-      make_eval_render_fn, render_image, render_image_scan)
-  from snerf_tpu.train.trainer import create_train_state
+      make_eval_render_fn, make_zip_param_render_fn, render_image,
+      render_image_scan)
   from snerf_tpu.utils.metrics import MetricHarness
   from snerf_tpu.utils.ref_import import repo_train_module
   load_scene = repo_train_module().load_scene
@@ -142,19 +142,7 @@ def main(argv=None):
     params = state.params
 
     import functools
-    # params as a jit ARGUMENT (closure constants embed the hash tables
-    # into the HLO -> remote-compile 413 over the tunnel, PERF.md)
-    @jax.jit
-    def _render_zip(p, rays):
-      rend, _ = model.apply({"params": p}, rays, rng=None)
-      out = {"rgb": rend[-1]["rgb"],
-             "distance": rend[-1]["depth"][..., None],
-             "acc": rend[-1]["acc"][..., None]}
-      if rend[-1].get("semantic") is not None:
-        out["semantic"] = rend[-1]["semantic"]
-      return out
-
-    render_fn = functools.partial(_render_zip, params)
+    render_fn = functools.partial(make_zip_param_render_fn(model), params)
   else:
     render_fn = make_eval_render_fn(model, state.params,
                                     white_bkgd=cfg.white_bkgd)

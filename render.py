@@ -120,18 +120,8 @@ def main(argv=None):
   import functools
   params = jax.device_put(state.params)  # one batched host->device move
   if cfg.model == "zipnerf":
-    # params as a jit ARGUMENT (closure constants embed the hash tables
-    # into the HLO -> remote-compile 413 over the tunnel, PERF.md)
-    @jax.jit
-    def _render_zip(p, rays):
-      rend, _ = model.apply({"params": p}, rays, rng=None)
-      out = {"rgb": rend[-1]["rgb"],
-             "distance": rend[-1]["depth"][..., None]}
-      if rend[-1].get("semantic") is not None:
-        out["semantic"] = rend[-1]["semantic"]
-      return out
-
-    render_fn = functools.partial(_render_zip, params)
+    from snerf_tpu.train.renderer import make_zip_param_render_fn
+    render_fn = functools.partial(make_zip_param_render_fn(model), params)
   else:
     from snerf_tpu.train.renderer import make_eval_render_fn
     render_fn = make_eval_render_fn(model, params,

@@ -100,7 +100,6 @@ def _lk_jitted(shape, levels, iters, win, sigma):
   import jax.numpy as jnp
 
   H, W = shape
-  k_blur = None  # created inside trace
 
   def flow_of(g0, g1):
     kb = _gauss1d(5, 1.0)

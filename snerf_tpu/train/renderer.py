@@ -164,6 +164,25 @@ def make_eval_render_fn(model, params, white_bkgd: bool = False,
 
 
 @functools.lru_cache(maxsize=8)
+def make_zip_param_render_fn(model):
+  """Params-as-ARGUMENT jitted zip-nerf eval render (one compile per
+  model config; bind params with functools.partial — see
+  make_eval_render_fn on why closures are forbidden here)."""
+
+  @jax.jit
+  def render_fn(p, rays):
+    rend, _ = model.apply({"params": p}, rays, rng=None)
+    fine = rend[-1]
+    out = {"rgb": fine["rgb"], "distance": fine["depth"][..., None],
+           "acc": fine["acc"][..., None]}
+    if fine.get("semantic") is not None:
+      out["semantic"] = fine["semantic"]
+    return out
+
+  return render_fn
+
+
+@functools.lru_cache(maxsize=8)
 def make_param_render_fn(model, white_bkgd: bool = False):
   """Like make_eval_render_fn but params are an ARGUMENT: the compile is
   reused across parameter values (periodic in-training evals would

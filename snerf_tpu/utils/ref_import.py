@@ -175,8 +175,11 @@ def map_zip_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     out["glo_vecs"] = {"embedding": sd["glo_vecs.weight"].copy()}
     used.add("glo_vecs.weight")
 
+  # GridEncoder non-parameter buffers ride along in the state_dict
+  _buffers = (".encoder.offsets", ".encoder.grid_sizes", ".encoder.idx",
+              ".encoder.init_std")
   leftovers = sorted(k for k in sd if k not in used
-                     and k.endswith((".weight", ".bias")))
+                     and not k.endswith(_buffers))
   if leftovers:
     raise ValueError(
         f"unmapped reference weights (unsupported variant?): {leftovers}")

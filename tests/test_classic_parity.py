@@ -35,7 +35,9 @@ def _embed_perm(input_dims: int, n_freqs: int):
 
 
 def test_classic_mlp_parity():
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   try:
     import torch
     from model.run_nerf_helpers import NeRF, get_embedder

@@ -19,7 +19,9 @@ def _ref_camera_utils():
   for name in ("gin", "gin.config"):
     if name not in sys.modules:
       sys.modules[name] = mock.MagicMock()
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   try:
     from internal import camera_utils as ref_cu
   finally:

@@ -23,7 +23,9 @@ PROP_HIDDEN = 16
 
 
 def _build_reference_model():
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   import torch
   from collections import namedtuple
   import model.models as ref_models
@@ -144,7 +146,9 @@ def test_full_forward_parity_fn1_path():
   import jax
   import jax.numpy as jnp
   from collections import namedtuple
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   try:
     import model.models as ref_models
     torch.manual_seed(0)

@@ -25,7 +25,9 @@ PROP_HIDDEN = 16
 
 
 def _reference_model(semantic=False):
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   import torch
   import model.models as ref_models
   torch.manual_seed(0)

@@ -18,7 +18,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def ref_modules():
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   import torch  # noqa: F401
   import model.mip as ref_mip
   import model.math_ops as ref_math
@@ -122,7 +124,9 @@ def test_volumetric_rendering_parity(ref_modules):
 
 def test_lie_exp_parity(ref_modules):
   del ref_modules
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   try:
     import torch
     from utils.lie_group_helper import Exp

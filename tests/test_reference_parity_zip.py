@@ -14,7 +14,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def ref_stepfun():
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   from internal import stepfun as ref_sf
   yield ref_sf
   sys.path.remove(REF)

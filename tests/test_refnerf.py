@@ -18,7 +18,9 @@ def _ref_module(name):
   import math
   if not hasattr(np, "math"):
     np.math = math
-  sys.path.insert(0, REF)
+  sys.path.append(REF)  # APPEND: inserting at 0 makes bare
+  # 'import train' resolve to the REFERENCE's train.py for every
+  # later test in the process
   try:
     import importlib
     mod = importlib.import_module(f"internal.{name}")

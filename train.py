@@ -202,35 +202,49 @@ def main(argv=None):
   return state
 
 
-def _eval_one_view(model, params, scene, cfg):
-  """Periodic in-training eval render (zipnerf train_render_every
-  behavior, train.py:458-476): one held-out view, PSNR."""
-  import jax
+def _render_one_test_view(render_fn, scene, cfg):
+  """Shared core of the periodic in-training evals (reference
+  train_render_every, zipnerf/train.py:458-476): render the first
+  held-out view, return (psnr, rgb image).
+
+  Large images render downscaled (render_factor, else 4x) — the
+  periodic eval is a progress signal, not the final metric, and a
+  full-res frame over the tunneled chip stalls training for minutes.
+  """
   import jax.numpy as jnp
   import numpy as np
 
-  import functools
-
   from snerf_tpu.data.raygen import rays_for_image
-  from snerf_tpu.train.renderer import make_param_render_fn, render_image
+  from snerf_tpu.train.renderer import render_image
 
   ti = int(scene.i_test[0])
   H, W = scene.hw
+  rf = 0
+  if H * W > 128 * 128:
+    rf = cfg.render_factor if cfg.render_factor > 1 else 4
   rays = rays_for_image(
       jnp.asarray(scene.poses[ti]), jnp.asarray(scene.intrinsics[ti]),
-      H, W, scene.near, scene.far,
-      render_factor=max(cfg.render_factor, 1) if H * W > 64 * 64 else 0)
-  # params passed as an argument (not baked in) so the SAME compile
-  # serves every periodic eval of the run.
-  render_fn = functools.partial(
-      make_param_render_fn(model, cfg.white_bkgd), params)
+      H, W, scene.near, scene.far, render_factor=rf)
   out = render_image(render_fn, rays, chunk=cfg.chunk)
   gt = scene.images[ti].astype(np.float32) / 255.0
   if out["rgb"].shape[:2] != gt.shape[:2]:
     import cv2
     gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
-  mse = float(np.mean((out["rgb"] - gt) ** 2))
+  mse = float(np.mean((np.asarray(out["rgb"]) - gt) ** 2))
   return -10.0 * np.log10(max(mse, 1e-10)), np.clip(out["rgb"], 0, 1)
+
+
+def _eval_one_view(model, params, scene, cfg):
+  """One held-out mip-model view during training; params passed as an
+  argument (not baked in) so the SAME compile serves every periodic
+  eval of the run."""
+  import functools
+
+  from snerf_tpu.train.renderer import make_param_render_fn
+
+  render_fn = functools.partial(
+      make_param_render_fn(model, cfg.white_bkgd), params)
+  return _render_one_test_view(render_fn, scene, cfg)
 
 
 def build_model_state(cfg, tcfg, num_images, seed: int = 0):
@@ -317,87 +331,60 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
 
 
 class _ProfileWindow:
-  """jax.profiler trace over steps [profile_start, profile_start +
-  profile_steps) of a training run (SURVEY.md §5.1) — traces land in
-  <exp_dir>/profile for TensorBoard/xprof."""
+  """jax.profiler trace over ~profile_steps training steps starting at
+  the first loop tick >= profile_start (SURVEY.md §5.1) — traces land
+  in <exp_dir>/profile for TensorBoard/xprof. Tick indices may stride
+  by unroll_steps, so the window anchors on the first tick actually
+  seen instead of assuming every step index is visited."""
 
   def __init__(self, cfg, exp_dir):
     self.n = int(getattr(cfg, "profile_steps", 0) or 0)
     self.start = int(getattr(cfg, "profile_start", 20) or 0)
     self.dir = os.path.join(exp_dir, "profile")
     self.active = False
+    self.done = False
+    self.started_at = 0
 
   def tick(self, i):
-    if not self.n:
+    if not self.n or self.done:
       return
     import jax
-    if not self.active and self.start <= i < self.start + self.n:
+    if not self.active and i >= self.start:
       jax.profiler.start_trace(self.dir)
       self.active = True
-      print(f"[profile] tracing steps {i}..{self.start + self.n - 1} "
+      self.started_at = i
+      print(f"[profile] tracing ~{self.n} steps from step {i} "
             f"-> {self.dir}")
-    elif self.active and i >= self.start + self.n:
+    elif self.active and i >= self.started_at + self.n:
       jax.profiler.stop_trace()
       self.active = False
+      self.done = True
 
   def close(self):
     if self.active:
       import jax
       jax.profiler.stop_trace()
       self.active = False
-
-
-@functools.lru_cache(maxsize=4)
-def _zip_eval_render_fn(mcfg):
-  """Params-as-argument jitted zip forward for periodic in-training
-  evals (reference train_render_every, zipnerf/train.py:458-476).
-
-  Uses an f32-activation twin of the training model — same params
-  (they are f32 either way), 5x faster XLA compile than bf16
-  (PERF.md) — and caches ONE compile per model config.
-  """
-  import dataclasses
-
-  import jax
-  import jax.numpy as jnp
-
-  from snerf_tpu.models.zipnerf import ZipNerfModel
-
-  eval_model = ZipNerfModel(
-      config=dataclasses.replace(mcfg, compute_dtype=jnp.float32))
-
-  @jax.jit
-  def render_fn(p, rays):
-    rend, _ = eval_model.apply({"params": p}, rays, rng=None)
-    return {"rgb": rend[-1]["rgb"]}
-
-  return render_fn
+      self.done = True
 
 
 def _zip_eval_one_view(mcfg, params, scene, cfg):
-  """One held-out view PSNR during zip training."""
+  """One held-out view PSNR during zip training: an f32-activation
+  twin of the training model (same f32 params, 5x faster XLA compile
+  than bf16 — PERF.md) through the shared params-as-argument renderer,
+  so one compile serves the whole run."""
+  import dataclasses
   import functools as _ft
 
   import jax.numpy as jnp
-  import numpy as np
 
-  from snerf_tpu.data.raygen import rays_for_image
-  from snerf_tpu.train.renderer import render_image
+  from snerf_tpu.models.zipnerf import ZipNerfModel
+  from snerf_tpu.train.renderer import make_zip_param_render_fn
 
-  ti = int(scene.i_test[0])
-  H, W = scene.hw
-  rf = max(cfg.render_factor, 1) if H * W > 64 * 64 else 0
-  rays = rays_for_image(
-      jnp.asarray(scene.poses[ti]), jnp.asarray(scene.intrinsics[ti]),
-      H, W, scene.near, scene.far, render_factor=rf)
-  render_fn = _ft.partial(_zip_eval_render_fn(mcfg), params)
-  out = render_image(render_fn, rays, chunk=cfg.chunk)
-  gt = scene.images[ti].astype(np.float32) / 255.0
-  if out["rgb"].shape[:2] != gt.shape[:2]:
-    import cv2
-    gt = cv2.resize(gt, (out["rgb"].shape[1], out["rgb"].shape[0]))
-  mse = float(np.mean((np.asarray(out["rgb"]) - gt) ** 2))
-  return -10.0 * np.log10(max(mse, 1e-10))
+  eval_model = ZipNerfModel(
+      config=dataclasses.replace(mcfg, compute_dtype=jnp.float32))
+  render_fn = _ft.partial(make_zip_param_render_fn(eval_model), params)
+  return _render_one_test_view(render_fn, scene, cfg)[0]
 
 
 class _nullcontext:
