@@ -177,7 +177,13 @@ def make_train_step(model: MipNerfModel,
   num_images = init_poses.shape[0]
   n_patches = cfg.n_patch if cfg.smooth_loss else 0
 
-  def loss_fn(params, pose_params, conf_params, key):
+  # device_scene/conf_maps are threaded through the jit as ARGUMENTS
+  # (bound by functools.partial below): as closure constants they lower
+  # into the HLO program body — a full scene embedded per compile, which
+  # the tunneled TPU's remote-compile endpoint rejects for real scene
+  # sizes (HTTP 413; PERF.md).
+  def loss_fn(device_scene, conf_maps, params, pose_params, conf_params,
+              key):
     k_sample, k_model = jax.random.split(key)
     pose_table = init_poses
     if pose_model is not None:
@@ -271,14 +277,17 @@ def make_train_step(model: MipNerfModel,
     metrics["loss"] = total
     return total, metrics
 
-  def train_step(state: TrainState, key):
+  def train_step(bound, state: TrainState, key):
+    device_scene, conf_maps = bound
     argnums = [0]
     if pose_model is not None:
       argnums.append(1)
     if conf_model is not None:
       argnums.append(2)
+    lf = lambda p, pp, cp, k: loss_fn(device_scene, conf_maps, p, pp,
+                                      cp, k)
     (_, metrics), grad_tuple = jax.value_and_grad(
-        loss_fn, argnums=tuple(argnums), has_aux=True)(
+        lf, argnums=tuple(argnums), has_aux=True)(
             state.params, state.pose_params, state.conf_params, key)
     grad_list = list(grad_tuple)
     grads = grad_list.pop(0)
@@ -309,10 +318,12 @@ def make_train_step(model: MipNerfModel,
           conf_opt_state=new_conf_opt)
     return state, metrics
 
+  bound = (device_scene, conf_maps)
   if not jit:
-    return train_step
-  donate_argnums = (0,) if donate else ()
-  return jax.jit(train_step, donate_argnums=donate_argnums)
+    return functools.partial(train_step, bound)
+  donate_argnums = (1,) if donate else ()
+  return functools.partial(
+      jax.jit(train_step, donate_argnums=donate_argnums), bound)
 
 
 def make_train_loop(train_step_fn, unroll_steps: int, donate: bool = True):
@@ -325,15 +336,25 @@ def make_train_loop(train_step_fn, unroll_steps: int, donate: bool = True):
   (state, metrics_mean).
   """
 
-  def loop(state, key):
+  # Split a functools.partial step (the scene-as-argument pattern from
+  # make_train_step) so the bound arrays enter THIS jit as traced inputs
+  # instead of re-becoming closure constants of the scan.
+  if isinstance(train_step_fn, functools.partial) and \
+      not train_step_fn.keywords:
+    inner, bound = train_step_fn.func, train_step_fn.args
+  else:
+    inner, bound = train_step_fn, ()
+
+  def loop(bound_args, state, key):
     keys = jax.random.split(key, unroll_steps)
 
     def body(st, k):
-      st, metrics = train_step_fn(st, k)
+      st, metrics = inner(*bound_args, st, k)
       return st, metrics
 
     state, metrics = jax.lax.scan(body, state, keys)
     return state, jax.tree_util.tree_map(lambda x: x.mean(), metrics)
 
-  donate_argnums = (0,) if donate else ()
-  return jax.jit(loop, donate_argnums=donate_argnums)
+  donate_argnums = (1,) if donate else ()
+  return functools.partial(
+      jax.jit(loop, donate_argnums=donate_argnums), bound)

@@ -15,6 +15,7 @@ SURVEY §2.5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Tuple
 
 import flax.struct
@@ -168,7 +169,12 @@ def make_zip_train_step(model: ZipNerfModel,
   n_patch_rays = n_patches * ps * ps
   n_pix = cfg.batch_size - n_patch_rays
 
-  def loss_fn(params, pose_params, key, train_frac, depth_on):
+  # device_scene is threaded through the jit as an ARGUMENT (bound by
+  # functools.partial below): as a closure constant the whole scene
+  # lowers into the HLO program body, which the tunneled TPU's
+  # remote-compile endpoint rejects at real scene sizes (PERF.md).
+  def loss_fn(device_scene, params, pose_params, key, train_frac,
+              depth_on):
     k_sample, k_model = jax.random.split(key)
     pose_table = init_poses
     if pose_model is not None:
@@ -335,7 +341,8 @@ def make_zip_train_step(model: ZipNerfModel,
     metrics["loss"] = total
     return total, metrics
 
-  def train_step(state: ZipTrainState, key):
+  def train_step(device_scene, state: ZipTrainState, key):
+    lf = functools.partial(loss_fn, device_scene)
     train_frac = jnp.clip(state.step / cfg.max_steps, 0.0, 1.0)
     # the inverse-depth loss is disabled inside the pose-refine window
     # (train.py:256: dep_lam = 0 while refining poses)
@@ -346,10 +353,10 @@ def make_zip_train_step(model: ZipNerfModel,
       depth_on = 1.0 - in_window.astype(jnp.float32)
     if pose_model is not None:
       (_, metrics), (grads, pose_grads) = jax.value_and_grad(
-          loss_fn, argnums=(0, 1), has_aux=True)(
+          lf, argnums=(0, 1), has_aux=True)(
               state.params, state.pose_params, key, train_frac, depth_on)
     else:
-      (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
           state.params, state.pose_params, key, train_frac, depth_on)
       pose_grads = None
     grads = smath.clip_gradients(
@@ -373,5 +380,6 @@ def make_zip_train_step(model: ZipNerfModel,
           pose_opt_state=new_pose_opt)
     return state, metrics
 
-  donate_argnums = (0,) if donate else ()
-  return jax.jit(train_step, donate_argnums=donate_argnums)
+  donate_argnums = (1,) if donate else ()
+  return functools.partial(
+      jax.jit(train_step, donate_argnums=donate_argnums), device_scene)
