@@ -156,7 +156,11 @@ def main(argv=None):
   import time as _time
   t_eval0 = _time.perf_counter()
   rays_done = 0
+  steady_rays = 0   # rays after the first (compile-bearing) image
+  t_steady0 = None
   for pos, ti in enumerate(np.asarray(idxs)):
+    if pos == 1:
+      t_steady0 = _time.perf_counter()
     pose = (refined_poses[pos] if refined_poses is not None
             else scene.poses[ti])
     rays = rays_for_image(
@@ -172,6 +176,8 @@ def main(argv=None):
     m = harness(jnp.asarray(out["rgb"]), jnp.asarray(gt))
     results.append({"img": int(ti), **m})
     rays_done += out["rgb"].shape[0] * out["rgb"].shape[1]
+    if pos >= 1:
+      steady_rays += out["rgb"].shape[0] * out["rgb"].shape[1]
     print(f"img {ti}: psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
     if miou_eval is not None and "semantic" in out:
       pred_lab = np.argmax(out["semantic"], axis=-1)
@@ -197,10 +203,17 @@ def main(argv=None):
              "mean_ssim": mean_ssim,
              "eval_rays_per_sec": round(eval_rays_per_sec, 1),
              "per_image": results}
+  if t_steady0 is not None and steady_rays:
+    # first image carries the XLA compile; report warm throughput too
+    summary["eval_rays_per_sec_warm"] = round(
+        steady_rays / max(_time.perf_counter() - t_steady0, 1e-9), 1)
   if miou_eval is not None:
     summary["miou"] = miou_eval.miou()
     print(f"mIoU = {summary['miou']:.4f}")
-  print(f"eval rays/sec = {eval_rays_per_sec:.0f}")
+  msg = f"eval rays/sec = {eval_rays_per_sec:.0f}"
+  if "eval_rays_per_sec_warm" in summary:
+    msg += f" (warm: {summary['eval_rays_per_sec_warm']:.0f})"
+  print(msg)
   with open(os.path.join(out_dir, "metrics.json"), "w") as f:
     json.dump(summary, f, indent=2)
   print(f"mean: psnr={mean_psnr:.2f} ssim={mean_ssim:.4f}")
