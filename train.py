@@ -277,9 +277,12 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
   from snerf_tpu.train.zip_trainer import (
       create_zip_train_state, make_zip_train_step)
 
+  from snerf_tpu.utils.logging import ExperimentLogger
+
   mcfg = cfg.zip_model_config()
   tcfg = cfg.zip_train_config()
   model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+  logger = ExperimentLogger(exp_dir)
 
   start_step = 0
   if cfg.resume:
@@ -310,16 +313,17 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
         rps = rays_done / dt
         print(f"[{i}] loss={m['loss']:.5f} psnr={m.get('psnr', 0):.2f} "
               f"rays/sec={rps:.0f}")
-        with open(os.path.join(exp_dir, "train_log.jsonl"), "a") as f:
-          f.write(json.dumps({"step": i, "rays_per_sec": rps, **m}) + "\n")
+        # train_rays_per_sec is the reference's TB metric of record
+        # (zipnerf train.py:356-358,400); the logger mirrors to
+        # train_log.jsonl
+        logger.scalars(i, {"rays_per_sec": rps, **m})
         t0 = time.perf_counter()
         rays_done = 0
       if cfg.i_testset > 0 and i % cfg.i_testset == 0 and \
           len(scene.i_test):
         psnr = _zip_eval_one_view(mcfg, state.params, scene, cfg)
         print(f"[{i}] test view PSNR = {psnr:.2f}")
-        with open(os.path.join(exp_dir, "train_log.jsonl"), "a") as f:
-          f.write(json.dumps({"step": i, "test_psnr": psnr}) + "\n")
+        logger.scalars(i, {"test_psnr": psnr})
         t0 = time.perf_counter()
         rays_done = 0
       if i % cfg.i_weights == 0 or i == tcfg.max_steps:
@@ -327,6 +331,7 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
                                  wait=(i == tcfg.max_steps))
         print(f"saved checkpoint at step {i}")
     prof.close()
+  logger.close()
   return state
 
 
