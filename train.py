@@ -10,7 +10,6 @@ a data mesh; the scene lives in HBM; logging/checkpointing are async.
 from __future__ import annotations
 
 import functools
-import json
 import os
 import sys
 import time
