@@ -1,0 +1,173 @@
+"""Round-3 quality x speed A/B: zip-nerf encoder arms on the 24-view
+protocol (same scene/steps/budget as scripts/ab_ipe_vs_hash.py) plus a
+rays/s measurement at the FULL reference sample budget ((64,64)+32,
+n=7, batch 4096).
+
+Target (VERDICT r2 #1): one configuration >= 43 dB held-out AND
+>= 10k rays/s at the reference budget on one v5e.
+
+Usage: python scripts/ab_round3.py [arm ...]
+Arms: ipe ipe_anneal cp cp_ipe cp_hi hash  (default: cp cp_ipe ipe_anneal)
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snerf_tpu.data import make_synthetic_scene
+from snerf_tpu.data.sampler import scene_to_device
+from snerf_tpu.models.zipnerf import ZipNerfConfig
+from snerf_tpu.train.zip_trainer import (
+    ZipTrainConfig, create_zip_train_state, make_zip_train_step)
+
+STEPS = int(os.environ.get("AB_STEPS", 1200))
+BATCH = int(os.environ.get("AB_BATCH", 1024))
+SKIP_REFBUDGET = bool(int(os.environ.get("AB_SKIP_REFBUDGET", "0")))
+COMMON = dict(num_prop_samples=(16, 16), num_nerf_samples=8, sample_n=3,
+              raydist_fn="power_transformation")
+
+ARMS = {
+    # round-2 reference arms
+    "ipe": (dict(encoder_type="ipe", ipe_max_deg=14), dict(lr=2e-3)),
+    "hash": (dict(encoder_type="hash", grid_num_levels=10,
+                  grid_log2_hashmap_size=19), dict(lr=8e-3)),
+    # round-3 candidates
+    "ipe_anneal": (dict(encoder_type="ipe", ipe_max_deg=16,
+                        ipe_anneal_frac=0.5), dict(lr=2e-3)),
+    "cp": (dict(encoder_type="cp", cp_num_levels=4, cp_level_dim=16,
+                cp_base_resolution=128, cp_max_resolution=1024),
+           dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_ipe": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                    cp_num_levels=4, cp_level_dim=16,
+                    cp_base_resolution=128, cp_max_resolution=1024),
+               dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hi": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                   cp_num_levels=5, cp_level_dim=16,
+                   cp_base_resolution=64, cp_max_resolution=2048),
+              dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # rank scaling: CP total rank 4x64=256 (TensoRF-CP class capacity)
+    "cp_f64": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                    cp_num_levels=4, cp_level_dim=64,
+                    cp_base_resolution=128, cp_max_resolution=1024),
+               dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # isolate the moment-matched collapse (default True above)
+    "cp_f64_nc": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=64,
+                       cp_collapse_multisamples=False,
+                       cp_base_resolution=128, cp_max_resolution=1024),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # rank + resolution + sharper bumps
+    "cp_f64_hi": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=5, cp_level_dim=64,
+                       cp_base_resolution=128, cp_max_resolution=2048,
+                       cp_bump_width=0.6),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # coarse-to-fine annealing over CP levels + IPE degrees
+    "cp_anneal": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=64,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_anneal_frac=0.3, ipe_anneal_frac=0.3),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+}
+
+
+def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0):
+  mcfg = ZipNerfConfig(**mdict, **COMMON)
+  tcfg = ZipTrainConfig(batch_size=BATCH, max_steps=STEPS, lr_init=lr,
+                        lr_final=lr / 10, lr_delay_steps=0,
+                        encoder_lr_mult=encoder_lr_mult)
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
+                                          tcfg)
+  state = jax.device_put(state, jax.devices()[0])
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=True)
+  key = jax.random.PRNGKey(1)
+  t0 = time.perf_counter()
+  for i in range(1, STEPS + 1):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+    if i % 200 == 0:
+      loss = float(m["loss"])
+      print(f"[{tag} {i}] loss={loss:.5f} "
+            f"({time.perf_counter()-t0:.0f}s)", flush=True)
+      assert np.isfinite(loss)
+
+  # held-out PSNR on 2 test views, chunked render
+  from snerf_tpu.data.raygen import rays_for_image
+  psnrs = []
+  fn = jax.jit(lambda p, r: model.apply({"params": p}, r,
+                                        rng=None)[0][-1]["rgb"])
+  for ti in np.asarray(scene.i_test)[:2]:
+    rays = rays_for_image(jnp.asarray(scene.poses[ti]),
+                          jnp.asarray(scene.intrinsics[ti]),
+                          scene.hw[0], scene.hw[1], scene.near, scene.far)
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, x.shape[-1]), rays)
+    n = flat.origins.shape[0]
+    outs = []
+    for s in range(0, n, 4096):
+      chunk = jax.tree_util.tree_map(lambda x: x[s:s + 4096], flat)
+      outs.append(np.asarray(fn(state.params, chunk)))
+    pred = np.concatenate(outs).reshape(*scene.hw, 3)
+    gt = scene.images[ti].astype(np.float32) / 255.0
+    mse = float(np.mean((pred - gt) ** 2))
+    psnrs.append(-10 * np.log10(mse))
+  print(f"RESULT {tag}: held-out psnr = {np.mean(psnrs):.2f} dB "
+        f"({time.perf_counter()-t0:.0f}s total)", flush=True)
+  return float(np.mean(psnrs))
+
+
+def measure_ref_budget_rays(tag, mdict, scene, dev):
+  """Steady-state rays/s of the train step at the reference budget."""
+  mcfg = ZipNerfConfig(
+      **{**mdict,
+         "num_prop_samples": (64, 64), "num_nerf_samples": 32,
+         "sample_n": 7, "raydist_fn": "power_transformation"})
+  tcfg = ZipTrainConfig(batch_size=4096, max_steps=1000)
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
+                                          tcfg)
+  state = jax.device_put(state, jax.devices()[0])
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=True)
+  key = jax.random.PRNGKey(1)
+  state, m = step(state, key)          # compile
+  float(m["loss"])
+  t0 = time.perf_counter()
+  n_steps = 10
+  for i in range(n_steps):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+  float(m["loss"])                     # force through dependency chain
+  dt = (time.perf_counter() - t0) / n_steps
+  rps = 4096 / dt
+  print(f"REFBUDGET {tag}: {dt*1e3:.1f} ms/step = {rps:,.0f} rays/s",
+        flush=True)
+  return rps
+
+
+def main():
+  arms = sys.argv[1:] or ["cp", "cp_ipe", "ipe_anneal"]
+  scene = make_synthetic_scene(num_images=24, H=192, W=256, datahold=8)
+  dev = scene_to_device(scene)
+  results = {}
+  for a in arms:
+    mdict, rkw = ARMS[a]
+    psnr = run(a, mdict, scene, dev, **rkw)
+    rps = (0.0 if SKIP_REFBUDGET
+           else measure_ref_budget_rays(a, mdict, scene, dev))
+    results[a] = (psnr, rps)
+  print("\n=== summary (target: >=43 dB and >=10k rays/s) ===")
+  for a, (p, r) in results.items():
+    print(f"  {a:12s}  {p:6.2f} dB   {r:10,.0f} rays/s")
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,73 @@
+"""Depth-completion quality table: learned SDC uncertainty_net vs the
+classical IP-Basic default (VERDICT r2 next #5).
+
+Trains the in-repo SDC net (exact reference architecture,
+Models/model.py — checkpoint-import parity tested) on synthetic scenes
+with dense ground-truth depth + simulated lidar scanlines, then reports
+RMSE / MAE / KITTI iRMSE on held-out frames for both completers.
+Table goes to PERF.md.
+
+Usage: python scripts/eval_completion.py [--steps 400]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from snerf_tpu.data import make_synthetic_scene
+from snerf_tpu.preprocess.nets import sdc
+from snerf_tpu.preprocess.pipeline import default_completion_fn
+
+
+def metrics(pred, gt, valid):
+  e = (pred - gt)[valid]
+  rmse = float(np.sqrt(np.mean(e ** 2)))
+  mae = float(np.mean(np.abs(e)))
+  ig = 1.0 / np.maximum(gt[valid], 1e-3)
+  ip = 1.0 / np.maximum(pred[valid], 1e-3)
+  irmse = float(np.sqrt(np.mean((ig - ip) ** 2))) * 1000  # 1/km
+  return rmse, mae, irmse
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--steps", type=int, default=400)
+  args = ap.parse_args()
+
+  scene = make_synthetic_scene(num_images=10, H=96, W=128, radius=3.0,
+                               near=1.0, far=6.0, detail_blobs=20)
+  images, depths = scene.images, scene.depths
+  train_im, train_d = images[:8], depths[:8]
+  test_im, test_d = images[8:], depths[8:]
+
+  t0 = time.perf_counter()
+  print(f"training sdc {args.steps} steps ...", flush=True)
+  params, losses = sdc.train_completion(train_im, train_d,
+                                        steps=args.steps, lr=1e-3,
+                                        crop=64, batch=2, log_every=100)
+  print(f"trained in {time.perf_counter()-t0:.0f}s "
+        f"(loss {np.mean(losses[:20]):.3f} -> "
+        f"{np.mean(losses[-20:]):.3f})", flush=True)
+
+  learned_fn = sdc.make_sdc_completion_fn(params=params)
+  rng = np.random.RandomState(42)
+  rows = {"ip-basic": [], "sdc-learned": []}
+  for im, d in zip(test_im, test_d):
+    sparse = sdc.simulate_lidar_scanlines(d, rng)
+    valid = d > 0.01
+    eval_mask = valid & (sparse == 0)   # completed pixels only
+    rows["ip-basic"].append(
+        metrics(default_completion_fn(im, sparse), d, eval_mask))
+    rows["sdc-learned"].append(
+        metrics(learned_fn(im, sparse), d, eval_mask))
+
+  print("\n| completer | RMSE (m) | MAE (m) | iRMSE (1/km) |")
+  print("|---|---|---|---|")
+  for name, vals in rows.items():
+    v = np.mean(vals, axis=0)
+    print(f"| {name} | {v[0]:.3f} | {v[1]:.3f} | {v[2]:.1f} |")
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,59 @@
+"""Generate the realistic-focal nuScenes-layout fixture
+(tests/fixtures/nuscenes_realfocal) — VERDICT r2 next #2.
+
+The committed nuscenes_tiny fixture's toy focal (0.8*W at 64x80) gives
+cone radii large enough that integrated encodings correctly suppress
+all high frequencies (PERF.md: plateaus at ~14 dB, "a diagnosis, not a
+defect"); no committed fixture exercised the zip family at realistic
+cone geometry. This one uses the real nuScenes focal (~1266 px,
+CAM_FRONT intrinsics at 1600x900) on a 96x128 CROP: radii scale as
+1/focal, so samples see production-scale cones while files stay tiny.
+High-frequency content comes from 60 small blobs concentrated inside
+the narrow frustum (detail_extent 0.12).
+
+Run once; output is committed so CI + bench_quality.py exercise the
+real on-disk contract at real cone geometry.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "fixtures",
+    "nuscenes_realfocal")
+
+NUSCENES_FOCAL = 1266.4
+
+
+def main():
+  import imageio.v2 as imageio
+  from PIL import Image
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.preprocess.nuscenes import build_poses_bounds
+
+  scene = make_synthetic_scene(
+      num_images=16, H=96, W=128, radius=3.0, near=2.0, far=4.5,
+      focal=NUSCENES_FOCAL, detail_blobs=60, detail_extent=0.12,
+      n_render_samples=192, datahold=8)
+  os.makedirs(os.path.join(OUT, "images"), exist_ok=True)
+  os.makedirs(os.path.join(OUT, "depths"), exist_ok=True)
+  n = scene.num_images
+  c2ws = np.tile(np.eye(4)[None], (n, 1, 1))
+  for i in range(n):
+    c2ws[i, :3, :4] = scene.poses[i]
+    imageio.imwrite(os.path.join(OUT, "images", f"{i:04d}.png"),
+                    scene.images[i])
+    d16 = np.clip(scene.depths[i] * 256, 0, 65535).astype(np.uint16)
+    Image.fromarray(d16).save(os.path.join(OUT, "depths", f"{i:04d}.png"))
+  arr = build_poses_bounds(c2ws, scene.intrinsics, scene.hw)
+  np.save(os.path.join(OUT, "poses_bounds.npy"), arr)
+  print("fixture written to", OUT)
+
+
+if __name__ == "__main__":
+  main()

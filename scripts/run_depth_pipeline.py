@@ -29,7 +29,23 @@ def main():
                  help="dir with <cam>/frames.npz per camera")
   p.add_argument("--outdir", required=True)
   p.add_argument("--flow", default="tpu",
-                 choices=["tpu", "farneback", "none"])
+                 choices=["tpu", "farneback", "raftlite", "none"])
+  p.add_argument("--flow_weights", default="",
+                 help="npz weights for --flow raftlite "
+                      "(scripts/eval_flow.py --save trains them)")
+  p.add_argument("--completion", default="classical",
+                 choices=["classical", "sdc"],
+                 help="sdc = learned uncertainty_net "
+                      "(nets/sdc.py; reference Models/model.py)")
+  p.add_argument("--completion_weights", default="",
+                 help=".pth/.npz checkpoint for --completion sdc")
+  p.add_argument("--segmentation", default="classical",
+                 choices=["classical", "erfnet"],
+                 help="erfnet = learned labeler (nets/segnet.py; "
+                      "reference mseg role)")
+  p.add_argument("--segmentation_weights", default="",
+                 help=".pth/.npz ERFNet checkpoint for "
+                      "--segmentation erfnet")
   p.add_argument("--workers", type=int, default=6)
   args = p.parse_args()
 
@@ -57,10 +73,28 @@ def main():
     flow_fn = tpu_flow_fn
   elif args.flow == "farneback":
     flow_fn = farneback_flow_fn
+  elif args.flow == "raftlite":
+    from snerf_tpu.preprocess.nets.raftlite import make_raftlite_flow_fn
+    flow_fn = make_raftlite_flow_fn(
+        weights_path=args.flow_weights or None)
   else:
     flow_fn = lambda a, b: np.zeros(a.shape[:2] + (2,), np.float32)
 
+  completion_fn = None
+  if args.completion == "sdc":
+    from snerf_tpu.preprocess.nets.sdc import make_sdc_completion_fn
+    completion_fn = make_sdc_completion_fn(
+        weights_path=args.completion_weights or None)
+
+  segmentation_fn = None
+  if args.segmentation == "erfnet":
+    from snerf_tpu.preprocess.nets.segnet import make_segmentation_fn
+    segmentation_fn = make_segmentation_fn(
+        weights_path=args.segmentation_weights or None)
+
   stats = run_scene_pipeline(camera_frames, args.outdir, flow_fn,
+                             completion_fn=completion_fn,
+                             segmentation_fn=segmentation_fn,
                              max_workers=args.workers)
   for cam, mean_pts in stats.items():
     print(f"{cam}: mean kept lidar points/frame = {mean_pts:.0f}")

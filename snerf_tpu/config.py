@@ -129,9 +129,23 @@ class Config:
   zip_num_prop_samples: Any = (64, 64)
   zip_num_nerf_samples: int = 32
   zip_glo_features: int = 0
-  zip_encoder: str = "hash"       # hash (parity) | ipe (TPU-fast)
-  zip_ipe_density_width: int = 256  # IPE-backbone trunk width/depth
+  # hash (parity; gather-bound on TPU, see the runtime warning) |
+  # ipe (TPU-fastest) | cp / cp_ipe (integrated-CP grid: quality-class
+  # of hash, dense-matmul fwd+bwd — the round-3 recommended TPU arm)
+  zip_encoder: str = "hash"
+  zip_ipe_density_width: int = 256  # IPE/CP trunk width/depth
   zip_ipe_density_depth: int = 4
+  zip_ipe_max_deg: int = 12
+  zip_ipe_anneal_frac: float = 0.0  # BARF-style degree window (0 = off)
+  # integrated-CP encoder (models/cpgrid.py)
+  zip_cp_num_levels: int = 4
+  zip_cp_level_dim: int = 64
+  zip_cp_base_resolution: int = 128
+  zip_cp_max_resolution: int = 1024
+  zip_cp_anneal_frac: float = 0.0   # coarse-to-fine level window
+  zip_cp_collapse: bool = True      # moment-matched multisample collapse
+  # grid/table params (hash or cp) train at this multiple of the base lr
+  zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
   zip_grid_num_levels: int = 10
   zip_log2_hashmap_size: int = 21
@@ -233,6 +247,14 @@ class Config:
         encoder_type=self.zip_encoder,
         ipe_density_width=self.zip_ipe_density_width,
         ipe_density_depth=self.zip_ipe_density_depth,
+        ipe_max_deg=self.zip_ipe_max_deg,
+        ipe_anneal_frac=self.zip_ipe_anneal_frac,
+        cp_num_levels=self.zip_cp_num_levels,
+        cp_level_dim=self.zip_cp_level_dim,
+        cp_base_resolution=self.zip_cp_base_resolution,
+        cp_max_resolution=self.zip_cp_max_resolution,
+        cp_anneal_frac=self.zip_cp_anneal_frac,
+        cp_collapse_multisamples=self.zip_cp_collapse,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,
@@ -259,6 +281,7 @@ class Config:
         smoothness_loss_mult=self.zip_smoothness_loss_mult,
         semantic_smoothness_loss_mult=(
             self.zip_semantic_smoothness_loss_mult),
+        encoder_lr_mult=self.zip_encoder_lr_mult,
         randomized=self.randomized)
 
   def conf_modes(self):

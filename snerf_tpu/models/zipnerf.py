@@ -68,11 +68,31 @@ class ZipNerfConfig:
   grid_log2_hashmap_size: int = 21
   # encoder backend: 'hash' = instant-NGP parity (gather-bound on TPU,
   # see PERF.md); 'ipe' = gather-free integrated-positional-encoding
-  # backbone (MXU-bound, the TPU-fast choice) behind the same API.
+  # backbone (MXU-bound); 'cp' = integrated multiresolution CP-factor
+  # grid (models/cpgrid.py: dense-matmul fwd+bwd, no gather/scatter);
+  # 'cp_ipe' = CP features concatenated with the IPE encoding.
   encoder_type: str = "hash"
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
   ipe_density_width: int = 256
+  # BARF-style coarse-to-fine windows (fraction of training over which
+  # the window opens; 0 disables). ipe_anneal_frac windows IPE degrees,
+  # cp_anneal_frac windows CP levels.
+  ipe_anneal_frac: float = 0.0
+  cp_anneal_frac: float = 0.0
+  # integrated CP encoder (encoder_type 'cp' / 'cp_ipe')
+  cp_num_levels: int = 4
+  cp_level_dim: int = 64
+  cp_base_resolution: int = 128
+  cp_max_resolution: int = 1024
+  cp_bump_width: float = 0.75
+  # moment-match the n multisamples into one per-axis Gaussian before
+  # encoding (same cone integral, 1/n the profile cost) — A/B'd in
+  # scripts/ab_round3.py
+  cp_collapse_multisamples: bool = True
+  # prop MLPs carry lighter CP encoders (reference PropMLP level_dim=1)
+  cp_prop_num_levels: int = 3
+  cp_prop_level_dim: int = 8
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -107,7 +127,19 @@ class ZipMLP(nn.Module):
           desired_resolution=self.grid_resolution,
           log2_hashmap_size=c.grid_log2_hashmap_size, name="grid")
     else:
-      self.encoder = None
+      if c.encoder_type in ("cp", "cp_ipe"):
+        from snerf_tpu.models.cpgrid import CPEncoding
+        levels = c.cp_prop_num_levels if self.disable_rgb \
+            else c.cp_num_levels
+        dim = c.cp_prop_level_dim if self.disable_rgb else c.cp_level_dim
+        self.encoder = CPEncoding(
+            num_levels=levels, level_dim=dim,
+            base_resolution=min(c.cp_base_resolution,
+                                self.grid_resolution),
+            max_resolution=min(c.cp_max_resolution, self.grid_resolution),
+            bump_width=c.cp_bump_width, compute_dtype=dt, name="cp_grid")
+      else:
+        self.encoder = None
       self.ipe_layers = [
           nn.Dense(c.ipe_density_width, dtype=dt, name=f"ipe_{i}")
           for i in range(c.ipe_density_depth)]
@@ -130,7 +162,24 @@ class ZipMLP(nn.Module):
         self.glo_1 = nn.Dense(c.bottleneck_width * 2, dtype=dt,
                               name="glo_1")
 
-  def predict_density(self, means, stds, rng=None):
+  def _ipe_enc(self, z, new_std, train_frac):
+    """Annealable IPE of the contracted Gaussians, multisample-averaged."""
+    c = self.cfg
+    enc = mip.integrated_pos_enc(
+        z, jnp.broadcast_to((new_std ** 2)[..., None], z.shape),
+        0, c.ipe_max_deg, diag=True)
+    if c.ipe_anneal_frac > 0:
+      # BARF-style coarse-to-fine degree window; enc layout is
+      # [deg0_xyz, deg1_xyz, ... | same for cos] (ops/mip.py:124-129).
+      from snerf_tpu.models.cpgrid import cosine_window
+      alpha = jnp.clip(
+          train_frac / c.ipe_anneal_frac, 0.0, 1.0) * c.ipe_max_deg
+      win = cosine_window(alpha, c.ipe_max_deg)
+      win = jnp.tile(jnp.repeat(win, 3), 2)
+      enc = enc * win
+    return enc.mean(axis=-2)  # mean over n multisamples
+
+  def predict_density(self, means, stds, rng=None, train_frac=1.0):
     """means [..., n, 3], stds [..., n] -> (raw_density [...], x [..., W]).
 
     Contract -> [0,1]^3 -> hash features [., n, L, C], erf-downweighted
@@ -148,16 +197,33 @@ class ZipMLP(nn.Module):
       feats = (feats * w[..., None]).mean(axis=-3)  # mean over n
       feats = feats.reshape(*feats.shape[:-2], -1)
       h = nn.relu(self.density_hidden(feats))
+    elif c.encoder_type in ("cp", "cp_ipe"):
+      # Integrated CP-factor grid: dense-matmul encode (cpgrid.py); the
+      # per-axis Gaussian profile integrates the feature field under
+      # each multisample's Gaussian analytically.
+      x01 = (z / 2.0 + 1.0) / 2.0
+      std01 = new_std / 4.0
+      level_window = None
+      if c.cp_anneal_frac > 0:
+        from snerf_tpu.models.cpgrid import cosine_window
+        nl = self.encoder.num_levels
+        alpha = jnp.clip(
+            train_frac / c.cp_anneal_frac, 0.0, 1.0) * nl
+        level_window = cosine_window(alpha, nl)
+      parts = [self.encoder(x01, std01, level_window=level_window,
+                            collapse=c.cp_collapse_multisamples)]
+      if c.encoder_type == "cp_ipe":
+        parts.append(self._ipe_enc(z, new_std, train_frac))
+      h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+      for layer in self.ipe_layers:
+        h = nn.relu(layer(h))
+      h = nn.relu(self.density_hidden(h))
     else:
       # Gather-free TPU backbone: IPE of the contracted isotropic
       # Gaussians (the expected-sin variance decay plays the role of the
       # erf multisample downweighting), averaged over the n multisamples,
       # then a small MXU-bound trunk.
-      enc = mip.integrated_pos_enc(
-          z, jnp.broadcast_to((new_std ** 2)[..., None], z.shape),
-          0, c.ipe_max_deg, diag=True)
-      enc = enc.mean(axis=-2)  # mean over n multisamples
-      h = enc
+      h = self._ipe_enc(z, new_std, train_frac)
       for layer in self.ipe_layers:
         h = nn.relu(layer(h))
       h = nn.relu(self.density_hidden(h))
@@ -168,17 +234,20 @@ class ZipMLP(nn.Module):
           rng, raw_density.shape)
     return raw_density, x
 
-  def __call__(self, means, stds, viewdirs=None, glo_vec=None, rng=None):
+  def __call__(self, means, stds, viewdirs=None, glo_vec=None, rng=None,
+               train_frac=1.0):
     c = self.cfg
     normals = normals_pred = None
     if not c.disable_density_normals:
       # density normals = -normalize(d sigma / d means) (models.py:553-573)
       def _dsum(m):
-        return self.predict_density(m, stds, rng=None)[0].sum()
+        return self.predict_density(m, stds, rng=None,
+                                    train_frac=train_frac)[0].sum()
       raw_grad = jax.grad(_dsum)(means)
       from snerf_tpu.ops import ref_utils
       normals = -ref_utils.l2_normalize(raw_grad.mean(axis=-2))
-    raw_density, x = self.predict_density(means, stds, rng=rng)
+    raw_density, x = self.predict_density(means, stds, rng=rng,
+                                          train_frac=train_frac)
     density = nn.softplus(raw_density + c.density_bias)
 
     if c.enable_pred_normals:
@@ -344,7 +413,7 @@ class ZipNerfModel(nn.Module):
           viewdirs=rays.viewdirs if (c.use_viewdirs and not is_prop)
           else None,
           glo_vec=None if is_prop else glo_vec,
-          rng=keys[2 * i_level + 1])
+          rng=keys[2 * i_level + 1], train_frac=train_frac)
 
       weights = render.compute_alpha_weights(
           ray_results["density"], tdist, rays.directions,

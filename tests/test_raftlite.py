@@ -1,0 +1,60 @@
+"""RAFT-lite learned flow (preprocess/nets/raftlite.py) — parity class:
+reference SepFlow (core/sepflow.py:1-259).
+
+Full accuracy-vs-LK evaluation lives in scripts/eval_flow.py (table in
+PERF.md); here: contract, differentiability/convergence, save/load.
+"""
+
+import numpy as np
+
+from snerf_tpu.preprocess.nets import raftlite
+
+
+def test_flow_fn_contract_shapes():
+  fn = raftlite.make_raftlite_flow_fn(iters=2)
+  rng = np.random.RandomState(0)
+  img0 = rng.randint(0, 255, (40, 56, 3), np.uint8)
+  img1 = rng.randint(0, 255, (40, 56, 3), np.uint8)
+  out = fn(img0, img1)
+  assert out.shape == (40, 56, 2) and out.dtype == np.float32
+  assert np.isfinite(out).all()
+
+
+def test_training_reduces_loss():
+  _, params, losses = raftlite.train_raftlite(steps=30, size=(32, 32),
+                                              iters=3, lr=1e-3)
+  first = np.mean(losses[:5])
+  last = np.mean(losses[-5:])
+  assert last < 0.8 * first, (first, last)
+
+
+def test_save_load_roundtrip(tmp_path):
+  import jax
+  import jax.numpy as jnp
+  model = raftlite.RaftLite(iters=2)
+  z = jnp.zeros((32, 32, 1))
+  params = model.init(jax.random.PRNGKey(1), z, z)["params"]
+  path = str(tmp_path / "raft.npz")
+  raftlite.save_params(path, params)
+  loaded = raftlite.load_params(path, params)
+  chk = jax.tree_util.tree_all(jax.tree_util.tree_map(
+      lambda a, b: jnp.array_equal(a, b), params, loaded))
+  assert bool(chk)
+  fn = raftlite.make_raftlite_flow_fn(weights_path=path, iters=2)
+  out = fn(np.zeros((32, 32, 3), np.uint8), np.zeros((32, 32, 3),
+                                                     np.uint8))
+  assert out.shape == (32, 32, 2)
+
+
+def test_synthetic_pair_flow_convention():
+  """gt flow satisfies img1(x + flow) ~= img0(x) — the same (dx, dy)
+  convention as tpu_flow_fn/farneback (test_preprocess.py)."""
+  from scipy.ndimage import map_coordinates
+  rng = np.random.RandomState(0)
+  i0, i1, gt = raftlite.synthetic_pair(rng, (48, 48), max_shift=3.0)
+  yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+  resampled = map_coordinates(i1[..., 0], [yy + gt[..., 1],
+                                           xx + gt[..., 0]],
+                              order=1, mode="nearest")
+  err = np.abs(resampled - i0[..., 0])[8:-8, 8:-8]
+  assert np.median(err) < 0.02, np.median(err)

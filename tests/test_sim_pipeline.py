@@ -248,3 +248,65 @@ def test_render_video_tool(tmp_path):
   assert os.path.exists(out)
   if out.endswith(".npy"):
     assert np.load(out).shape == (3, 8, 10, 3)
+
+
+def test_relight_pass_changes_vehicle_region_only():
+  """Stage2 relight parity (inpainting_fig.py:64-96): a second pass runs
+  over the dilated union of vehicle masks and changes that region."""
+  from snerf_tpu.sim.pipeline import (apply_relight_pass,
+                                      relight_dilation_radius)
+  verts, faces, colors = make_box_mesh(1.0)
+  inst = compose.Instance(verts=verts, faces=faces, colors=colors,
+                          position=np.zeros(3), yaw_deg=0.0,
+                          category="vehicle")
+  bg_rgb = np.full(HW + (3,), 0.8, np.float32)   # bright background
+  bg_depth = np.full(HW, 8.5, np.float32)
+  w2c = look_down_w2c(8.0)
+  out = compose.compose_view(bg_rgb * 0 + 0.8, bg_depth, None, [inst],
+                             w2c[:3, :4], K, semantic_id=13,
+                             lighting_strength=0.0)
+  mask = out["relight_mask"]
+  assert mask.any() and (mask == out["masks"][0]).all()
+  # force a dark vehicle so the luminance harmonization must brighten it
+  rgb = out["rgb"].copy()
+  rgb[mask] = 0.1
+  relit = apply_relight_pass(rgb, mask, inpaint_fn=None)
+  r = relight_dilation_radius(mask)
+  assert r >= 1
+  assert relit[mask].mean() > rgb[mask].mean() + 0.02
+  far = ~mask
+  import cv2
+  far &= ~cv2.dilate(mask.astype(np.uint8),
+                     np.ones((2 * r + 9, 2 * r + 9),
+                             np.uint8)).astype(bool)
+  np.testing.assert_array_equal(relit[far], rgb[far])
+
+
+def test_relight_prefers_light_aware_plugin():
+  """A plug-in inpaint_fn with a `light` kwarg gets the relight call."""
+  from snerf_tpu.sim.pipeline import apply_relight_pass
+  calls = []
+
+  def plugin(rgb, mask, light=False):
+    calls.append(light)
+    return rgb * 0 + 0.5
+
+  mask = np.zeros((20, 30), bool)
+  mask[5:12, 8:20] = True
+  out = apply_relight_pass(np.ones((20, 30, 3), np.float32), mask,
+                           inpaint_fn=plugin)
+  assert calls == [True]
+  assert (out == 0.5).all()
+
+
+def test_non_vehicle_instances_excluded_from_relight():
+  verts, faces, colors = make_box_mesh(1.0)
+  inst = compose.Instance(verts=verts, faces=faces, colors=colors,
+                          position=np.zeros(3), yaw_deg=0.0,
+                          category="person")
+  bg_depth = np.full(HW, 8.5, np.float32)
+  w2c = look_down_w2c(8.0)
+  out = compose.compose_view(np.zeros(HW + (3,), np.float32), bg_depth,
+                             None, [inst], w2c[:3, :4], K)
+  assert out["masks"][0].any()
+  assert not out["relight_mask"].any()

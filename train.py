@@ -280,6 +280,8 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
 
   mcfg = cfg.zip_model_config()
   tcfg = cfg.zip_train_config()
+  from snerf_tpu.train.zip_trainer import maybe_warn_hash_on_tpu
+  maybe_warn_hash_on_tpu(mcfg, tcfg)
   model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
   logger = ExperimentLogger(exp_dir)
 
