@@ -72,6 +72,51 @@ ARMS = {
                        cp_base_resolution=128, cp_max_resolution=1024,
                        cp_anneal_frac=0.3, ipe_anneal_frac=0.3),
                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-3 stability sweep (F=64 diverged at table lr 8e-3;
+    # annealing rescued it -> isolate lr / init / rank) ---
+    "cp16_col": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                      cp_num_levels=4, cp_level_dim=16,
+                      cp_base_resolution=128, cp_max_resolution=1024),
+                 dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp32_col": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                      cp_num_levels=4, cp_level_dim=32,
+                      cp_base_resolution=128, cp_max_resolution=1024),
+                 dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp64_lr1": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                      cp_num_levels=4, cp_level_dim=64,
+                      cp_base_resolution=128, cp_max_resolution=1024),
+                 dict(lr=2e-3, encoder_lr_mult=1.0)),
+    "cp64_is05": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=64,
+                       cp_init_scale=0.05,
+                       cp_base_resolution=128, cp_max_resolution=1024),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp32_anneal": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=32,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_anneal_frac=0.15),
+                    dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-4: quality levers on the stable F=16 base (42.1 dB) ---
+    "cp16_trunk6": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         ipe_density_depth=6, ipe_density_width=384),
+                    dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp16_r2048": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                        cp_num_levels=5, cp_level_dim=16,
+                        cp_base_resolution=128,
+                        cp_max_resolution=2048),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp16_bw06": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_bump_width=0.6,
+                       cp_base_resolution=128, cp_max_resolution=1024),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp16_pair16": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_pair_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024),
+                    dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

@@ -139,11 +139,12 @@ class Config:
   zip_ipe_anneal_frac: float = 0.0  # BARF-style degree window (0 = off)
   # integrated-CP encoder (models/cpgrid.py)
   zip_cp_num_levels: int = 4
-  zip_cp_level_dim: int = 64
+  zip_cp_level_dim: int = 16
   zip_cp_base_resolution: int = 128
   zip_cp_max_resolution: int = 1024
   zip_cp_anneal_frac: float = 0.0   # coarse-to-fine level window
   zip_cp_collapse: bool = True      # moment-matched multisample collapse
+  zip_cp_pair_dim: int = 0          # rank-F2 pair products (tri-plane)
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -255,6 +256,7 @@ class Config:
         cp_max_resolution=self.zip_cp_max_resolution,
         cp_anneal_frac=self.zip_cp_anneal_frac,
         cp_collapse_multisamples=self.zip_cp_collapse,
+        cp_pair_dim=self.zip_cp_pair_dim,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,
@@ -266,9 +268,22 @@ class Config:
 
   def zip_train_config(self):
     from snerf_tpu.train.zip_trainer import ZipTrainConfig
+    # Encoder-aware lr defaults: 0.01 is the hash-table schedule
+    # (reference config.gin); MLP-trunk encoders (ipe/cp) diverge above
+    # ~2e-3 (PERF.md A/B: ipe 9.2 dB at 8e-3). Applied only when the
+    # user left the flags at their dataclass defaults.
+    lr_init, lr_final = self.zip_lr_init, self.zip_lr_final
+    enc_mult = self.zip_encoder_lr_mult
+    if self.zip_encoder != "hash":
+      if lr_init == Config.zip_lr_init:
+        lr_init = 0.002
+      if lr_final == Config.zip_lr_final:
+        lr_final = 0.0002
+      if enc_mult == Config.zip_encoder_lr_mult:
+        enc_mult = 4.0
     return ZipTrainConfig(
         batch_size=self.zip_batch_size, max_steps=self.zip_max_steps,
-        lr_init=self.zip_lr_init, lr_final=self.zip_lr_final,
+        lr_init=lr_init, lr_final=lr_final,
         lr_delay_steps=self.zip_lr_delay,
         anti_interlevel_loss_mult=self.anti_interlevel_loss_mult,
         distortion_loss_mult=self.distortion_loss_mult,
@@ -281,7 +296,7 @@ class Config:
         smoothness_loss_mult=self.zip_smoothness_loss_mult,
         semantic_smoothness_loss_mult=(
             self.zip_semantic_smoothness_loss_mult),
-        encoder_lr_mult=self.zip_encoder_lr_mult,
+        encoder_lr_mult=enc_mult,
         randomized=self.randomized)
 
   def conf_modes(self):

@@ -31,13 +31,16 @@ def field(points, blobs=None):
   peaks = np.array([b[2] for b in blobs], np.float32)
   cols = np.array([b[3] for b in blobs], np.float32)         # [B, 3]
 
-  flat = points.reshape(-1, 3)
+  flat = np.ascontiguousarray(points.reshape(-1, 3), np.float32)
   density = np.empty(flat.shape[0], np.float32)
   rgb = np.empty((flat.shape[0], 3), np.float32)
-  chunk = max(1, 16_000_000 // max(len(blobs), 1))
+  c2 = np.sum(centers ** 2, -1)                              # [B]
+  chunk = max(1, 4_000_000 // max(len(blobs), 1))
   for s in range(0, flat.shape[0], chunk):
     p = flat[s:s + chunk]                                    # [P, 3]
-    d2 = np.sum((p[:, None, :] - centers) ** 2, -1)          # [P, B]
+    # ||p - c||^2 via the matmul expansion: no [P, B, 3] temporary
+    d2 = (np.sum(p ** 2, -1)[:, None] + c2
+          - 2.0 * (p @ centers.T))                           # [P, B]
     w = peaks * np.exp(-d2 * inv2sig2)
     den = w.sum(-1)
     density[s:s + chunk] = den
@@ -47,16 +50,22 @@ def field(points, blobs=None):
 
 
 def detail_blob_layout(num: int, seed: int = 0, extent: float = 0.8,
-                       sig_range=(0.015, 0.06)):
+                       sig_range=(0.015, 0.06),
+                       include_base: bool = True):
   """`num` small high-frequency blobs around the origin — texture that
   discriminates encoders (the base 3-blob field is smooth enough that
-  any backbone saturates PSNR on it)."""
+  any backbone saturates PSNR on it).
+
+  include_base=False omits the 3 large base blobs: small blobs INSIDE
+  an optically-thick base blob are never seen (rays terminate at its
+  front surface). Peaks scale ~1/sigma so each blob's optical depth is
+  size-independent (visibly opaque, not fog)."""
   rng = np.random.RandomState(seed)
-  blobs = list(_BLOBS)
+  blobs = list(_BLOBS) if include_base else []
   for _ in range(num):
     c = rng.uniform(-extent, extent, 3)
     sig = float(rng.uniform(*sig_range))
-    peak = float(rng.uniform(30.0, 90.0))
+    peak = float(rng.uniform(1.5, 4.0) / sig)
     col = rng.uniform(0.05, 0.95, 3)
     blobs.append((tuple(c), sig, peak, tuple(col)))
   return blobs
@@ -109,6 +118,8 @@ def make_synthetic_scene(num_images: int = 6, H: int = 32, W: int = 40,
                          focal: float = None,
                          detail_blobs: int = 0,
                          detail_extent: float = 0.8,
+                         detail_sig_range=(0.015, 0.06),
+                         detail_only: bool = False,
                          n_render_samples: int = 96) -> Scene:
   """Cameras on a circle looking at the origin; images rendered analytically.
 
@@ -120,7 +131,9 @@ def make_synthetic_scene(num_images: int = 6, H: int = 32, W: int = 40,
   """
   del seed  # layout is deterministic
   focal = 0.8 * W if focal is None else float(focal)
-  blobs = (detail_blob_layout(detail_blobs, extent=detail_extent)
+  blobs = (detail_blob_layout(detail_blobs, extent=detail_extent,
+                              sig_range=detail_sig_range,
+                              include_base=not detail_only)
            if detail_blobs else None)
   K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
   poses, images, depths = [], [], []

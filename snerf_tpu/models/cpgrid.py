@@ -77,6 +77,12 @@ class CPEncoding(nn.Module):
   max_resolution: int = 1024
   bump_width: float = 0.75       # RBF sigma, in units of grid spacing
   init_scale: float = 0.1
+  # pair_dim > 0 adds rank-`pair_dim` PAIR products per level — each
+  # (a, b) axis pair contributes (w_a @ P_a) * (w_b @ P_b), i.e. a
+  # CP-decomposed tri-plane (TensoRF-VM's planes at rank pair_dim):
+  # capacity for axis-extruded structure the pure triple product
+  # represents inefficiently.
+  pair_dim: int = 0
   compute_dtype: Any = jnp.float32
 
   def setup(self):
@@ -92,13 +98,19 @@ class CPEncoding(nn.Module):
     self.factors = [
         self.param(f"v{l}", init_fn, (3, r, self.level_dim), jnp.float32)
         for l, r in enumerate(self.resolutions)]
+    if self.pair_dim > 0:
+      self.pair_factors = [
+          self.param(f"p{l}", init_fn, (3, r, self.pair_dim),
+                     jnp.float32)
+          for l, r in enumerate(self.resolutions)]
 
-  def _level_encode(self, v, u, var, r: int, n: int):
+  def _level_encode(self, v, p, u, var, r: int, n: int):
     """One level's integrated-CP features; rematerialized in backward
     (the [..., R] profile matrices would otherwise be saved for grad —
     ~GBs per level at training batch sizes).
 
-    var is per-axis: [..., n, 3] in grid^2 units."""
+    var is per-axis: [..., n, 3] in grid^2 units. p is the optional
+    pair-factor table [3, R, pair_dim] (None when pair_dim == 0)."""
     dt = self.compute_dtype
     iota = jnp.arange(r, dtype=jnp.float32)
     # Exact mixture expectation: per-component axis independence gives
@@ -110,11 +122,18 @@ class CPEncoding(nn.Module):
     acc = 0.0
     for k in range(n):
       f = 1.0
+      pf = []
       for a in range(3):
         d = u[..., k, a][..., None] - iota          # [..., R]
         w = jnp.exp(-0.5 * d * d / var[..., k, a][..., None])
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
-        f = f * (w.astype(dt) @ v[a].astype(dt))    # [..., F]
+        wd = w.astype(dt)
+        f = f * (wd @ v[a].astype(dt))              # [..., F]
+        if p is not None:
+          pf.append(wd @ p[a].astype(dt))           # [..., F2]
+      if p is not None:
+        f = jnp.concatenate(
+            [f, pf[0] * pf[1], pf[1] * pf[2], pf[0] * pf[2]], axis=-1)
       acc = acc + f
     return acc / n
 
@@ -139,13 +158,20 @@ class CPEncoding(nn.Module):
     outs = []
     for l, r in enumerate(self.resolutions):
       v = self.factors[l]                    # [3, R, F]
+      p = self.pair_factors[l] if self.pair_dim > 0 else None
       u = x01 * (r - 1.0)                    # [..., n, 3] grid coords
       sig = std01 * (r - 1.0)                # [..., n, 3] grid units
       var = sig * sig + self.bump_width ** 2
-      enc = jax.checkpoint(
-          lambda v_, u_, var_, r_=r: self._level_encode(v_, u_, var_,
-                                                        r_, n))
-      feat = enc(v, u, var)
+      if p is None:
+        enc = jax.checkpoint(
+            lambda v_, u_, var_, r_=r: self._level_encode(
+                v_, None, u_, var_, r_, n))
+        feat = enc(v, u, var)
+      else:
+        enc = jax.checkpoint(
+            lambda v_, p_, u_, var_, r_=r: self._level_encode(
+                v_, p_, u_, var_, r_, n))
+        feat = enc(v, p, u, var)
       if level_window is not None:
         feat = feat * level_window[l].astype(self.compute_dtype)
       outs.append(feat)

@@ -80,9 +80,12 @@ class ZipNerfConfig:
   # cp_anneal_frac windows CP levels.
   ipe_anneal_frac: float = 0.0
   cp_anneal_frac: float = 0.0
-  # integrated CP encoder (encoder_type 'cp' / 'cp_ipe')
+  # integrated CP encoder (encoder_type 'cp' / 'cp_ipe').
+  # level_dim 16 is the measured stability/quality sweet spot: F=64
+  # diverges at every lr/init tried unless level-annealed, and F=32
+  # scores below F=16 on the A/B (PERF.md round-3 table).
   cp_num_levels: int = 4
-  cp_level_dim: int = 64
+  cp_level_dim: int = 16
   cp_base_resolution: int = 128
   cp_max_resolution: int = 1024
   cp_bump_width: float = 0.75
@@ -93,6 +96,8 @@ class ZipNerfConfig:
   # prop MLPs carry lighter CP encoders (reference PropMLP level_dim=1)
   cp_prop_num_levels: int = 3
   cp_prop_level_dim: int = 8
+  cp_init_scale: float = 0.1
+  cp_pair_dim: int = 0     # rank-F2 pair products (decomposed tri-plane)
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -137,7 +142,9 @@ class ZipMLP(nn.Module):
             base_resolution=min(c.cp_base_resolution,
                                 self.grid_resolution),
             max_resolution=min(c.cp_max_resolution, self.grid_resolution),
-            bump_width=c.cp_bump_width, compute_dtype=dt, name="cp_grid")
+            bump_width=c.cp_bump_width, init_scale=c.cp_init_scale,
+            pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
+            compute_dtype=dt, name="cp_grid")
       else:
         self.encoder = None
       self.ipe_layers = [

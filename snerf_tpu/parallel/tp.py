@@ -84,6 +84,14 @@ def _leaf_spec(path_keys, leaf, tp: int) -> P:
     if leaf.ndim == 2 and leaf.shape[0] % tp == 0:
       return P(MODEL_AXIS, None)
     return P()
+  # Integrated-CP factor tables [3, R, F] (models/cpgrid.py): shard the
+  # resolution dim; the profile@factor matmul contracts over it, XLA
+  # inserting the psum (same pattern as the hash-table row sharding).
+  if path_keys and "cp_grid" in path_keys and path_keys[-1].startswith(
+      "v"):
+    if leaf.ndim == 3 and leaf.shape[1] % tp == 0 and leaf.shape[1] >= tp:
+      return P(None, MODEL_AXIS, None)
+    return P()
   # The layer name is the key right above 'kernel'/'bias'.
   if len(path_keys) < 2 or path_keys[-1] not in ("kernel", "bias"):
     return P()

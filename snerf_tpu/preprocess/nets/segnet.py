@@ -184,7 +184,7 @@ def make_labeled_street_scene(num_images: int = 8, H: int = 96,
     img = np.zeros((H, W, 3), np.float32)
     for c, col in _CLASS_COLORS.items():
       img[lab == c] = np.array(col, np.float32)
-    img += rng.normal(0, 8, img.shape)          # sensor noise
+    img += rng.normal(0, 6, img.shape)          # sensor noise
     # vertical shading gradient so the net can't just threshold color
     img *= (0.85 + 0.3 * (ys / H))[..., None]
     images[n] = np.clip(img, 0, 255).astype(np.uint8)

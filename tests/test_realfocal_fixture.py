@@ -1,0 +1,85 @@
+"""Realistic-focal committed fixture (VERDICT r2 next #2): real nuScenes
+focal (~1266 px) on a 96x128 crop => production-scale cone radii, so the
+zip-nerf family (IPE/CP integrated encoders) trains meaningfully on a
+committed fixture — unlike nuscenes_tiny whose toy focal makes IPE
+correctly suppress all high frequencies (PERF.md diagnosis).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "nuscenes_realfocal")
+
+
+def load():
+  from snerf_tpu.data.scene import load_nuscenes_scene
+  return load_nuscenes_scene(FIXTURE, bd_factor=0.0, cam_num=0,
+                             datahold=8, no_align=True)
+
+
+def test_fixture_has_real_scale_cone_radii():
+  scene = load()
+  assert scene.images.shape == (16, 96, 128, 3)
+  # focal must be the real nuScenes scale, three orders above the toy
+  # fixture's 0.8*W = 64
+  assert scene.intrinsics[0][0, 0] > 1000
+  # ray radii ~ pixel pitch / focal: the production scale is ~1e-3/unit
+  from snerf_tpu.data.raygen import rays_for_image
+  rays = rays_for_image(jnp.asarray(scene.poses[0]),
+                        jnp.asarray(scene.intrinsics[0]),
+                        scene.hw[0], scene.hw[1], scene.near, scene.far)
+  r = float(np.median(np.asarray(rays.radii)))
+  assert 1e-4 < r < 2e-3, r
+
+
+def test_fixture_has_high_frequency_content():
+  scene = load()
+  # detail blobs must actually produce in-frame texture: neighboring
+  # pixel differences well above sensor-noise floor
+  img = scene.images[0].astype(np.float32)
+  grad = np.abs(np.diff(img, axis=1)).mean()
+  assert grad > 2.0, grad
+
+
+def test_zip_cp_trains_on_realfocal_fixture():
+  """The zip family must LEARN on this fixture (train PSNR moves well
+  above the ~14 dB IPE plateau seen on the toy-focal fixture)."""
+  scene = load()
+  from snerf_tpu.data.sampler import scene_to_device
+  from snerf_tpu.models.zipnerf import ZipNerfConfig
+  from snerf_tpu.train.zip_trainer import (
+      ZipTrainConfig, create_zip_train_state, make_zip_train_step)
+  dev = scene_to_device(scene)
+  mcfg = ZipNerfConfig(encoder_type="cp_ipe", num_prop_samples=(8,),
+                       num_levels=2, num_nerf_samples=8, sample_n=2,
+                       cp_num_levels=3, cp_level_dim=8,
+                       cp_base_resolution=64, cp_max_resolution=512,
+                       ipe_max_deg=10, ipe_density_width=64,
+                       ipe_density_depth=2, bottleneck_width=32,
+                       net_width_viewdirs=32)
+  tcfg = ZipTrainConfig(batch_size=512, max_steps=240, lr_init=3e-3,
+                        lr_final=1e-3, lr_delay_steps=0,
+                        encoder_lr_mult=4.0)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
+                                        tcfg)
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=True)
+  key = jax.random.PRNGKey(1)
+  losses = []
+  for i in range(240):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+    if (i + 1) % 40 == 0:
+      losses.append(float(m["loss"]))
+  assert np.isfinite(losses).all()
+  # The failure mode this guards against is the toy-focal plateau
+  # (PERF.md: loss flatlines immediately at ~14 dB because IPE
+  # suppresses everything): here the loss must decrease MONOTONICALLY
+  # and meaningfully across every checkpoint. (The scene is 140
+  # high-frequency blobs — 240 tiny CPU steps only begin fitting it.)
+  assert all(b < a for a, b in zip(losses, losses[1:])), losses
+  assert losses[-1] < 0.8 * losses[0], losses
