@@ -117,13 +117,66 @@ ARMS = {
                          cp_pair_dim=16,
                          cp_base_resolution=128, cp_max_resolution=1024),
                     dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-5: feature normalization vs the >=256-dim divergence ---
+    "cp64_ln": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=64,
+                     cp_feature_norm="layernorm",
+                     cp_base_resolution=128, cp_max_resolution=1024),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp16_ln": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_feature_norm="layernorm",
+                     cp_base_resolution=128, cp_max_resolution=1024),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_pair_ln": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_pair_dim=16, cp_feature_norm="layernorm",
+                        cp_base_resolution=128, cp_max_resolution=1024),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp16_mult8": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024),
+                   dict(lr=2e-3, encoder_lr_mult=8.0)),
+    # --- run-6: F=64 stall isolation (CPU trains fine; TPU stalls) ---
+    "cp64_hp": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=64,
+                     cp_base_resolution=128, cp_max_resolution=1024),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp64_r256": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=64,
+                       cp_base_resolution=64, cp_max_resolution=256),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-7: lr warmup defeats the density-collapse stall (CPU
+    # diag: F=64 trains with lr_delay 300 — the reference's own shipped
+    # warmup; the protocol's lr_delay=0 was the trigger) ---
+    "cp64_warm": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=64,
+                       cp_base_resolution=128, cp_max_resolution=1024),
+                  dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
+    "cp16_warm": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024),
+                  dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
+    "cp_pair_warm": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_pair_dim=16,
+                          cp_base_resolution=128,
+                          cp_max_resolution=1024),
+                     dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
+    "cp64_warm_hi": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                          cp_num_levels=5, cp_level_dim=64,
+                          cp_base_resolution=128,
+                          cp_max_resolution=2048),
+                     dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
 }
 
 
-def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0):
+def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0,
+        lr_delay=0):
   mcfg = ZipNerfConfig(**mdict, **COMMON)
   tcfg = ZipTrainConfig(batch_size=BATCH, max_steps=STEPS, lr_init=lr,
-                        lr_final=lr / 10, lr_delay_steps=0,
+                        lr_final=lr / 10, lr_delay_steps=lr_delay,
+                        lr_delay_mult=1e-3,
                         encoder_lr_mult=encoder_lr_mult)
   cpu = jax.devices("cpu")[0]
   with jax.default_device(cpu):

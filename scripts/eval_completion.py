@@ -11,7 +11,12 @@ Usage: python scripts/eval_completion.py [--steps 400]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -9,7 +9,12 @@ Usage: python scripts/eval_flow.py [--steps 1500] [--save exp/raft.npz]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 from scipy.ndimage import gaussian_filter, map_coordinates
@@ -83,8 +88,8 @@ def main():
   t0 = time.perf_counter()
   print(f"training raftlite {args.steps} steps ...", flush=True)
   _, params, losses = raftlite.train_raftlite(
-      steps=args.steps, size=(64, 64), iters=args.iters, lr=2e-4,
-      log_every=200)
+      steps=args.steps, size=(64, 64), iters=args.iters, lr=3e-4,
+      batch=4, log_every=100)
   print(f"trained in {time.perf_counter()-t0:.0f}s, "
         f"final loss {np.mean(losses[-50:]):.4f}", flush=True)
   if args.save:

@@ -128,6 +128,9 @@ class CPEncoding(nn.Module):
         w = jnp.exp(-0.5 * d * d / var[..., k, a][..., None])
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
         wd = w.astype(dt)
+        # default matmul precision: Precision.HIGHEST was measured to
+        # cost 17% step time without changing the F=64 stall (PERF.md
+        # round-3 divergence investigation)
         f = f * (wd @ v[a].astype(dt))              # [..., F]
         if p is not None:
           pf.append(wd @ p[a].astype(dt))           # [..., F2]

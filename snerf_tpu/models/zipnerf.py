@@ -98,6 +98,13 @@ class ZipNerfConfig:
   cp_prop_level_dim: int = 8
   cp_init_scale: float = 0.1
   cp_pair_dim: int = 0     # rank-F2 pair products (decomposed tri-plane)
+  # Encoder-output normalization. The round-3 sweep found a hard
+  # divergence boundary at >=256 total encoder dims (F=64 or F=16+pair16
+  # both diverge at any lr/init; F<=32 trains) — the products' common-
+  # mode DC (init mean 1) couples all channels through the trunk.
+  # 'center' subtracts the init mean; 'layernorm' removes the common
+  # mode entirely.
+  cp_feature_norm: str = "none"    # none | center | layernorm
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -217,8 +224,15 @@ class ZipMLP(nn.Module):
         alpha = jnp.clip(
             train_frac / c.cp_anneal_frac, 0.0, 1.0) * nl
         level_window = cosine_window(alpha, nl)
-      parts = [self.encoder(x01, std01, level_window=level_window,
-                            collapse=c.cp_collapse_multisamples)]
+      feats = self.encoder(x01, std01, level_window=level_window,
+                           collapse=c.cp_collapse_multisamples)
+      if c.cp_feature_norm == "center":
+        feats = feats - 1.0
+      elif c.cp_feature_norm == "layernorm":
+        mu = feats.mean(axis=-1, keepdims=True)
+        var = ((feats - mu) ** 2).mean(axis=-1, keepdims=True)
+        feats = (feats - mu) * jax.lax.rsqrt(var + 1e-6)
+      parts = [feats]
       if c.encoder_type == "cp_ipe":
         parts.append(self._ipe_enc(z, new_std, train_frac))
       h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]

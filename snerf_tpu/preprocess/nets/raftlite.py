@@ -31,17 +31,25 @@ _LEVELS = 3        # correlation pyramid levels
 _RADIUS = 3        # lookup window radius -> (2r+1)^2 taps per level
 
 
+_HE = nn.initializers.he_normal()
+
+
 class _Encoder(nn.Module):
-  """Shared conv trunk to 1/4 resolution."""
+  """Shared conv trunk to 1/4 resolution.
+
+  He init throughout: flax's default lecun init halves activation
+  variance at every ReLU, which shrinks the correlation values to
+  ~1e-2 after 5 layers — the GRU then learns to ignore them and
+  predicts the mean (zero) flow (the round-3 eval's failure mode)."""
   out_dim: int = 96
 
   @nn.compact
   def __call__(self, x):
-    x = nn.relu(nn.Conv(32, (3, 3), strides=2)(x))
-    x = nn.relu(nn.Conv(32, (3, 3))(x))
-    x = nn.relu(nn.Conv(64, (3, 3), strides=2)(x))
-    x = nn.relu(nn.Conv(64, (3, 3))(x))
-    return nn.Conv(self.out_dim, (3, 3))(x)
+    x = nn.relu(nn.Conv(32, (3, 3), strides=2, kernel_init=_HE)(x))
+    x = nn.relu(nn.Conv(32, (3, 3), kernel_init=_HE)(x))
+    x = nn.relu(nn.Conv(64, (3, 3), strides=2, kernel_init=_HE)(x))
+    x = nn.relu(nn.Conv(64, (3, 3), kernel_init=_HE)(x))
+    return nn.Conv(self.out_dim, (3, 3), kernel_init=_HE)(x)
 
 
 class _ConvGRU(nn.Module):
@@ -118,8 +126,16 @@ class RaftLite(nn.Module):
   @nn.compact
   def __call__(self, img0, img1):
     f = _Encoder(out_dim=96, name="fnet")
-    f0 = f(img0[None])[0]
-    f1 = f(img1[None])[0]
+
+    def inorm(x):
+      # instance-norm the correlation features (RAFT's encoder ends in
+      # instance norm): keeps corr magnitudes O(1) regardless of depth
+      mu = x.mean(axis=(0, 1), keepdims=True)
+      var = ((x - mu) ** 2).mean(axis=(0, 1), keepdims=True)
+      return (x - mu) * jax.lax.rsqrt(var + 1e-5)
+
+    f0 = inorm(f(img0[None])[0])
+    f1 = inorm(f(img1[None])[0])
     ctx = _Encoder(out_dim=self.hidden + 64, name="cnet")(img0[None])[0]
     h = nn.tanh(ctx[..., :self.hidden])
     context = nn.relu(ctx[..., self.hidden:])
@@ -134,10 +150,11 @@ class RaftLite(nn.Module):
 
     pyr = _corr_pyramid(f0, f1)
     gru = _ConvGRU(hidden=self.hidden, name="gru")
-    motion_conv = nn.Conv(96, (3, 3), name="motion_conv")
-    flow_conv = nn.Conv(32, (3, 3), name="flow_conv")
-    motion_mix = nn.Conv(80, (3, 3), name="motion_mix")
-    flow_head0 = nn.Conv(96, (3, 3), name="flow_head0")
+    motion_conv = nn.Conv(96, (3, 3), name="motion_conv",
+                          kernel_init=_HE)
+    flow_conv = nn.Conv(32, (3, 3), name="flow_conv", kernel_init=_HE)
+    motion_mix = nn.Conv(80, (3, 3), name="motion_mix", kernel_init=_HE)
+    flow_head0 = nn.Conv(96, (3, 3), name="flow_head0", kernel_init=_HE)
     flow_head1 = nn.Conv(2, (3, 3), name="flow_head1")
 
     hq, wq = f0.shape[:2]
@@ -205,22 +222,29 @@ def sequence_loss(preds: Sequence[jnp.ndarray], gt, gamma=0.8):
   return loss
 
 
-def train_raftlite(steps: int = 400, size=(64, 64), lr=2e-4, seed=0,
-                   iters: int = 6, log_every: int = 0):
-  """Train on synthetic warps; returns (model, params, losses)."""
+def train_raftlite(steps: int = 400, size=(64, 64), lr=3e-4, seed=0,
+                   iters: int = 6, batch: int = 4, log_every: int = 0):
+  """Train on synthetic warps; returns (model, params, losses).
+
+  Batched pairs (vmap) + cosine lr decay + a shift curriculum (small
+  warps first) — single-pair constant-lr training oscillates without
+  converging (the learned-flow eval's original failure mode)."""
   import optax
   model = RaftLite(iters=iters)
   rng = np.random.RandomState(seed)
   i0, i1, gt = synthetic_pair(rng, size)
   params = model.init(jax.random.PRNGKey(seed), jnp.asarray(i0),
                       jnp.asarray(i1))["params"]
-  tx = optax.adam(lr)
+  tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
   opt = tx.init(params)
+
+  batched = jax.vmap(lambda p, a, b: model.apply({"params": p}, a, b),
+                     in_axes=(None, 0, 0))
 
   @jax.jit
   def step(params, opt, i0, i1, gt):
     def loss_fn(p):
-      preds = model.apply({"params": p}, i0, i1)
+      preds = batched(p, i0, i1)
       return sequence_loss(preds, gt)
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt = tx.update(grads, opt, params)
@@ -228,9 +252,14 @@ def train_raftlite(steps: int = 400, size=(64, 64), lr=2e-4, seed=0,
 
   losses = []
   for s in range(steps):
-    i0, i1, gt = synthetic_pair(rng, size)
-    params, opt, loss = step(params, opt, jnp.asarray(i0),
-                             jnp.asarray(i1), jnp.asarray(gt))
+    # curriculum: max shift 1.5 -> 6 px over the first 60% of training
+    ms = 1.5 + 4.5 * min(1.0, s / max(1, int(0.6 * steps)))
+    triples = [synthetic_pair(rng, size, max_shift=ms)
+               for _ in range(batch)]
+    i0 = jnp.asarray(np.stack([t[0] for t in triples]))
+    i1 = jnp.asarray(np.stack([t[1] for t in triples]))
+    gt = jnp.asarray(np.stack([t[2] for t in triples]))
+    params, opt, loss = step(params, opt, i0, i1, gt)
     if log_every and (s + 1) % log_every == 0:
       print(f"[raftlite {s + 1}] loss={float(loss):.4f}", flush=True)
     losses.append(float(loss))
