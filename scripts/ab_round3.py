@@ -168,6 +168,19 @@ ARMS = {
                           cp_base_resolution=128,
                           cp_max_resolution=2048),
                      dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
+    # --- run-8: cp + one fine hash level (per-interval query) ---
+    "cp_hash_warm": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_base_resolution=128,
+                          cp_max_resolution=1024,
+                          cp_hash_resolution=2048, cp_hash_log2=19),
+                     dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300)),
+    "cp_hash_nowarm": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                            cp_num_levels=4, cp_level_dim=16,
+                            cp_base_resolution=128,
+                            cp_max_resolution=1024,
+                            cp_hash_resolution=2048, cp_hash_log2=19),
+                       dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

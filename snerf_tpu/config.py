@@ -145,6 +145,9 @@ class Config:
   zip_cp_anneal_frac: float = 0.0   # coarse-to-fine level window
   zip_cp_collapse: bool = True      # moment-matched multisample collapse
   zip_cp_pair_dim: int = 0          # rank-F2 pair products (tri-plane)
+  # 'cp_hash': one fine hash level on the nerf MLP, per-interval query
+  zip_cp_hash_resolution: int = 2048
+  zip_cp_hash_log2: int = 19
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -257,6 +260,8 @@ class Config:
         cp_anneal_frac=self.zip_cp_anneal_frac,
         cp_collapse_multisamples=self.zip_cp_collapse,
         cp_pair_dim=self.zip_cp_pair_dim,
+        cp_hash_resolution=self.zip_cp_hash_resolution,
+        cp_hash_log2=self.zip_cp_hash_log2,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,

@@ -70,7 +70,11 @@ class ZipNerfConfig:
   # see PERF.md); 'ipe' = gather-free integrated-positional-encoding
   # backbone (MXU-bound); 'cp' = integrated multiresolution CP-factor
   # grid (models/cpgrid.py: dense-matmul fwd+bwd, no gather/scatter);
-  # 'cp_ipe' = CP features concatenated with the IPE encoding.
+  # 'cp_ipe' = CP features concatenated with the IPE encoding;
+  # 'cp_hash' = cp_ipe + ONE fine hash level on the nerf MLP only,
+  # queried once per interval at the collapsed Gaussian mean (~1M
+  # gathers/step at the reference budget — inside the measured
+  # gather-fast regime, unlike full hash's 0.37G).
   encoder_type: str = "hash"
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
@@ -105,6 +109,10 @@ class ZipNerfConfig:
   # 'center' subtracts the init mean; 'layernorm' removes the common
   # mode entirely.
   cp_feature_norm: str = "none"    # none | center | layernorm
+  # fine hash level for encoder_type 'cp_hash'
+  cp_hash_resolution: int = 2048
+  cp_hash_level_dim: int = 4
+  cp_hash_log2: int = 19
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -139,7 +147,7 @@ class ZipMLP(nn.Module):
           desired_resolution=self.grid_resolution,
           log2_hashmap_size=c.grid_log2_hashmap_size, name="grid")
     else:
-      if c.encoder_type in ("cp", "cp_ipe"):
+      if c.encoder_type in ("cp", "cp_ipe", "cp_hash"):
         from snerf_tpu.models.cpgrid import CPEncoding
         levels = c.cp_prop_num_levels if self.disable_rgb \
             else c.cp_num_levels
@@ -152,6 +160,12 @@ class ZipMLP(nn.Module):
             bump_width=c.cp_bump_width, init_scale=c.cp_init_scale,
             pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
             compute_dtype=dt, name="cp_grid")
+        if c.encoder_type == "cp_hash" and not self.disable_rgb:
+          self.hash_fine = HashEncoding(
+              num_levels=1, level_dim=c.cp_hash_level_dim,
+              base_resolution=c.cp_hash_resolution,
+              desired_resolution=c.cp_hash_resolution,
+              log2_hashmap_size=c.cp_hash_log2, name="hash_fine")
       else:
         self.encoder = None
       self.ipe_layers = [
@@ -211,7 +225,7 @@ class ZipMLP(nn.Module):
       feats = (feats * w[..., None]).mean(axis=-3)  # mean over n
       feats = feats.reshape(*feats.shape[:-2], -1)
       h = nn.relu(self.density_hidden(feats))
-    elif c.encoder_type in ("cp", "cp_ipe"):
+    elif c.encoder_type in ("cp", "cp_ipe", "cp_hash"):
       # Integrated CP-factor grid: dense-matmul encode (cpgrid.py); the
       # per-axis Gaussian profile integrates the feature field under
       # each multisample's Gaussian analytically.
@@ -233,8 +247,22 @@ class ZipMLP(nn.Module):
         var = ((feats - mu) ** 2).mean(axis=-1, keepdims=True)
         feats = (feats - mu) * jax.lax.rsqrt(var + 1e-6)
       parts = [feats]
-      if c.encoder_type == "cp_ipe":
+      if c.encoder_type in ("cp_ipe", "cp_hash"):
         parts.append(self._ipe_enc(z, new_std, train_frac))
+      if c.encoder_type == "cp_hash" and hasattr(self, "hash_fine"):
+        # one fine hash level, queried ONCE per interval at the
+        # moment-matched collapsed mean (~1M gathers/step at the
+        # reference budget) with the erf footprint downweighting
+        m1 = x01.mean(axis=-2, keepdims=True)          # [..., 1, 3]
+        spread = ((x01 - m1) ** 2).mean(axis=-2, keepdims=True)
+        var1 = ((std01 ** 2).mean(axis=-1, keepdims=True)
+                + spread.mean(axis=-1))                 # [..., 1]
+        hfeat = self.hash_fine(m1)                      # [..., 1, 1, C]
+        g = float(c.cp_hash_resolution)
+        w = jax.lax.erf(1.0 / jnp.sqrt(
+            8.0 * (jnp.sqrt(var1) * g) ** 2 + 1e-20))
+        hfeat = (hfeat[..., 0, :] * w[..., None])[..., 0, :]
+        parts.append(hfeat.astype(feats.dtype))
       h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
       for layer in self.ipe_layers:
         h = nn.relu(layer(h))
