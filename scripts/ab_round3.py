@@ -14,6 +14,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,6 +184,78 @@ ARMS = {
                             cp_max_resolution=1024,
                             cp_hash_resolution=2048, cp_hash_log2=19),
                        dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-9: the run-8 fine level was erf-zeroed (interval spread
+    # variance >> 1/2048 cell) — per-sample queries, a 3-level ladder,
+    # and a no-spread collapsed variant let fine cells survive ---
+    "cp_hash_ms": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_per_sample=True),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash3_ms": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_num_levels=3,
+                         cp_hash_base_resolution=512,
+                         cp_hash_resolution=2048, cp_hash_log2=19,
+                         cp_hash_per_sample=True),
+                    dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash_nospread": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                              cp_num_levels=4, cp_level_dim=16,
+                              cp_base_resolution=128,
+                              cp_max_resolution=1024,
+                              cp_hash_resolution=2048, cp_hash_log2=19,
+                              cp_hash_use_spread=False),
+                         dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash3_bw": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_bump_width=0.6,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_num_levels=3,
+                         cp_hash_base_resolution=512,
+                         cp_hash_resolution=2048, cp_hash_log2=19,
+                         cp_hash_per_sample=True),
+                    dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-10: run-9 found nospread-collapsed = 42.66 @ 22.1k (the
+    # spread term was erf-zeroing the fine level) and 3 per-sample
+    # levels = 42.98 @ 2.4k (too slow). Combine: multi-level COLLAPSED
+    # nospread = 3-4x ~1M gathers, should hold >=15k rays/s ---
+    "cp_hash3_cns": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_base_resolution=128, cp_max_resolution=1024,
+                          cp_hash_num_levels=3,
+                          cp_hash_base_resolution=512,
+                          cp_hash_resolution=2048, cp_hash_log2=19,
+                          cp_hash_use_spread=False),
+                     dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash4_cns": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_base_resolution=128, cp_max_resolution=1024,
+                          cp_hash_num_levels=4,
+                          cp_hash_base_resolution=256,
+                          cp_hash_resolution=2048, cp_hash_log2=19,
+                          cp_hash_use_spread=False),
+                     dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash3_d8_cns": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                             cp_num_levels=4, cp_level_dim=16,
+                             cp_base_resolution=128,
+                             cp_max_resolution=1024,
+                             cp_hash_num_levels=3,
+                             cp_hash_base_resolution=512,
+                             cp_hash_resolution=2048, cp_hash_log2=19,
+                             cp_hash_level_dim=8,
+                             cp_hash_use_spread=False),
+                        dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cp_hash3_cns_21": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                             cp_num_levels=4, cp_level_dim=16,
+                             cp_base_resolution=128,
+                             cp_max_resolution=1024,
+                             cp_hash_num_levels=3,
+                             cp_hash_base_resolution=512,
+                             cp_hash_resolution=2048, cp_hash_log2=21,
+                             cp_hash_use_spread=False),
+                        dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

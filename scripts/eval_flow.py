@@ -82,14 +82,16 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--steps", type=int, default=1500)
   ap.add_argument("--iters", type=int, default=6)
+  ap.add_argument("--batch", type=int, default=4)
+  ap.add_argument("--lr", type=float, default=3e-4)
   ap.add_argument("--save", type=str, default="")
   args = ap.parse_args()
 
   t0 = time.perf_counter()
   print(f"training raftlite {args.steps} steps ...", flush=True)
   _, params, losses = raftlite.train_raftlite(
-      steps=args.steps, size=(64, 64), iters=args.iters, lr=3e-4,
-      batch=4, log_every=100)
+      steps=args.steps, size=(64, 64), iters=args.iters, lr=args.lr,
+      batch=args.batch, log_every=100)
   print(f"trained in {time.perf_counter()-t0:.0f}s, "
         f"final loss {np.mean(losses[-50:]):.4f}", flush=True)
   if args.save:

@@ -145,9 +145,14 @@ class Config:
   zip_cp_anneal_frac: float = 0.0   # coarse-to-fine level window
   zip_cp_collapse: bool = True      # moment-matched multisample collapse
   zip_cp_pair_dim: int = 0          # rank-F2 pair products (tri-plane)
-  # 'cp_hash': one fine hash level on the nerf MLP, per-interval query
+  # 'cp_hash': fine hash level(s) on the nerf MLP, per-interval or
+  # per-multisample query (models/zipnerf.py cp_hash_* docs)
   zip_cp_hash_resolution: int = 2048
   zip_cp_hash_log2: int = 19
+  zip_cp_hash_num_levels: int = 1
+  zip_cp_hash_base_resolution: int = 512
+  zip_cp_hash_per_sample: bool = False
+  zip_cp_hash_use_spread: bool = True
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -262,6 +267,10 @@ class Config:
         cp_pair_dim=self.zip_cp_pair_dim,
         cp_hash_resolution=self.zip_cp_hash_resolution,
         cp_hash_log2=self.zip_cp_hash_log2,
+        cp_hash_num_levels=self.zip_cp_hash_num_levels,
+        cp_hash_base_resolution=self.zip_cp_hash_base_resolution,
+        cp_hash_per_sample=self.zip_cp_hash_per_sample,
+        cp_hash_use_spread=self.zip_cp_hash_use_spread,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,

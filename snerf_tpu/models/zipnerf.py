@@ -109,10 +109,19 @@ class ZipNerfConfig:
   # 'center' subtracts the init mean; 'layernorm' removes the common
   # mode entirely.
   cp_feature_norm: str = "none"    # none | center | layernorm
-  # fine hash level for encoder_type 'cp_hash'
+  # fine hash levels for encoder_type 'cp_hash'
   cp_hash_resolution: int = 2048
   cp_hash_level_dim: int = 4
   cp_hash_log2: int = 19
+  cp_hash_num_levels: int = 1
+  cp_hash_base_resolution: int = 512   # only used when num_levels > 1
+  # query mode: per-sample queries each of the n multisamples with its
+  # own std (n x gathers, but fine cells survive where std is small);
+  # the collapsed mode queries once at the interval mean — with
+  # use_spread the erf variance includes the multisample spread, which
+  # at fine resolutions zeroes the feature for all but tiny intervals.
+  cp_hash_per_sample: bool = False
+  cp_hash_use_spread: bool = True
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -161,9 +170,12 @@ class ZipMLP(nn.Module):
             pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
             compute_dtype=dt, name="cp_grid")
         if c.encoder_type == "cp_hash" and not self.disable_rgb:
+          base = (c.cp_hash_base_resolution if c.cp_hash_num_levels > 1
+                  else c.cp_hash_resolution)
           self.hash_fine = HashEncoding(
-              num_levels=1, level_dim=c.cp_hash_level_dim,
-              base_resolution=c.cp_hash_resolution,
+              num_levels=c.cp_hash_num_levels,
+              level_dim=c.cp_hash_level_dim,
+              base_resolution=base,
               desired_resolution=c.cp_hash_resolution,
               log2_hashmap_size=c.cp_hash_log2, name="hash_fine")
       else:
@@ -250,18 +262,27 @@ class ZipMLP(nn.Module):
       if c.encoder_type in ("cp_ipe", "cp_hash"):
         parts.append(self._ipe_enc(z, new_std, train_frac))
       if c.encoder_type == "cp_hash" and hasattr(self, "hash_fine"):
-        # one fine hash level, queried ONCE per interval at the
-        # moment-matched collapsed mean (~1M gathers/step at the
-        # reference budget) with the erf footprint downweighting
-        m1 = x01.mean(axis=-2, keepdims=True)          # [..., 1, 3]
-        spread = ((x01 - m1) ** 2).mean(axis=-2, keepdims=True)
-        var1 = ((std01 ** 2).mean(axis=-1, keepdims=True)
-                + spread.mean(axis=-1))                 # [..., 1]
-        hfeat = self.hash_fine(m1)                      # [..., 1, 1, C]
-        g = float(c.cp_hash_resolution)
-        w = jax.lax.erf(1.0 / jnp.sqrt(
-            8.0 * (jnp.sqrt(var1) * g) ** 2 + 1e-20))
-        hfeat = (hfeat[..., 0, :] * w[..., None])[..., 0, :]
+        # fine hash level(s) on the nerf MLP only, erf-downweighted
+        # (models.py:500-502). Gather budget at the reference config:
+        # per-interval = levels x ~1M/step; per-sample = n x that —
+        # both inside the measured gather-fast regime (PERF.md), unlike
+        # the full 10-level hash's 0.37G.
+        g = jnp.asarray(self.hash_fine.grid_sizes)      # [L]
+        if c.cp_hash_per_sample:
+          hfeat = self.hash_fine(x01)                   # [..., n, L, C]
+          w = jax.lax.erf(1.0 / jnp.sqrt(
+              8.0 * (std01[..., None] * g) ** 2 + 1e-20))
+          hfeat = (hfeat * w[..., None]).mean(axis=-3)  # [..., L, C]
+        else:
+          m1 = x01.mean(axis=-2, keepdims=True)         # [..., 1, 3]
+          var1 = (std01 ** 2).mean(axis=-1)             # [...]
+          if c.cp_hash_use_spread:
+            var1 = var1 + ((x01 - m1) ** 2).mean(axis=(-2, -1))
+          hfeat = self.hash_fine(m1)[..., 0, :, :]      # [..., L, C]
+          w = jax.lax.erf(1.0 / jnp.sqrt(               # [..., L]
+              8.0 * var1[..., None] * (g ** 2) + 1e-20))
+          hfeat = hfeat * w[..., None]
+        hfeat = hfeat.reshape(*hfeat.shape[:-2], -1)
         parts.append(hfeat.astype(feats.dtype))
       h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
       for layer in self.ipe_layers:

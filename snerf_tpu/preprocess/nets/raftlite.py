@@ -184,13 +184,21 @@ class RaftLite(nn.Module):
 
 
 def synthetic_pair(rng: np.random.RandomState, size=(64, 64),
-                   max_shift=6.0):
+                   max_shift=6.0, sigma=None):
   """Random smooth texture warped by affine + sinusoidal displacement;
-  returns (img0, img1, gt_flow) with img* [H, W, 1] in [0, 1]."""
+  returns (img0, img1, gt_flow) with img* [H, W, 1] in [0, 1].
+
+  sigma: texture smoothness; None draws from [1.0, 2.5] so the net
+  generalizes across feature scales (a fixed 1.5 trains a net that
+  fails on the smoother eval fixtures)."""
   from scipy.ndimage import gaussian_filter, map_coordinates
   H, W = size
-  img0 = gaussian_filter(rng.rand(H, W).astype(np.float32), 1.5)
+  if sigma is None:
+    sigma = rng.uniform(1.0, 2.5)
+  img0 = gaussian_filter(rng.rand(H, W).astype(np.float32), sigma)
   img0 = (img0 - img0.min()) / max(float(np.ptp(img0)), 1e-6)
+  # contrast/brightness jitter (eval images need not span [0, 1])
+  img0 = img0 * rng.uniform(0.5, 1.0) + rng.uniform(0.0, 0.3)
   yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
   cy, cx = (H - 1) / 2, (W - 1) / 2
   ang = rng.uniform(-0.06, 0.06)
@@ -235,7 +243,11 @@ def train_raftlite(steps: int = 400, size=(64, 64), lr=3e-4, seed=0,
   i0, i1, gt = synthetic_pair(rng, size)
   params = model.init(jax.random.PRNGKey(seed), jnp.asarray(i0),
                       jnp.asarray(i1))["params"]
-  tx = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
+  # RAFT's own recipe clips gradients at 1.0 — the GRU unroll produces
+  # occasional large-norm grads that otherwise wreck Adam's moments.
+  tx = optax.chain(
+      optax.clip_by_global_norm(1.0),
+      optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05)))
   opt = tx.init(params)
 
   batched = jax.vmap(lambda p, a, b: model.apply({"params": p}, a, b),

@@ -199,7 +199,9 @@ def train_completion(images, depths, steps=200, lr=1e-3, crop=64,
   ground truth. Returns (params, losses)."""
   import optax
   params = init_params(jax.random.PRNGKey(seed))
-  tx = optax.adam(lr)
+  tx = optax.chain(
+      optax.clip_by_global_norm(1.0),
+      optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1)))
   opt = tx.init(params)
   rng = np.random.RandomState(seed)
   N, H, W = depths.shape
