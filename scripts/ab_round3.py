@@ -256,6 +256,64 @@ ARMS = {
                              cp_hash_resolution=2048, cp_hash_log2=21,
                              cp_hash_use_spread=False),
                         dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-11: run-10 showed extra COLLAPSED levels hurt (41.7/41.3
+    # vs 42.66 for 1 level — coarse hash duplicates cp + collision
+    # noise); push capacity/resolution on the winning 1-level
+    # collapsed-nospread base instead ---
+    "cns_d8": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                    cp_num_levels=4, cp_level_dim=16,
+                    cp_base_resolution=128, cp_max_resolution=1024,
+                    cp_hash_resolution=2048, cp_hash_log2=19,
+                    cp_hash_level_dim=8, cp_hash_use_spread=False),
+               dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_r4096": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_hash_resolution=4096, cp_hash_log2=19,
+                       cp_hash_use_spread=False),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_21": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                    cp_num_levels=4, cp_level_dim=16,
+                    cp_base_resolution=128, cp_max_resolution=1024,
+                    cp_hash_resolution=2048, cp_hash_log2=21,
+                    cp_hash_use_spread=False),
+               dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_max": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=1024,
+                     cp_hash_resolution=4096, cp_hash_log2=21,
+                     cp_hash_level_dim=8, cp_hash_use_spread=False),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-12: capacity arms flat (run-11); remaining levers on the
+    # cns base: train-time stochastic multisample dither (per-sample
+    # quality at collapsed cost), lr schedule (hash anchor trains the
+    # whole model at 8e-3; cns trunk sits at 2e-3), and a repeat of the
+    # frontier arm itself for a run-to-run noise estimate (cp16_col
+    # scored 42.12 and 41.68 on identical config+seed) ---
+    "cns_dither": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_use_spread=False, cp_hash_dither=True),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_lr3": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=1024,
+                     cp_hash_resolution=2048, cp_hash_log2=19,
+                     cp_hash_use_spread=False),
+                dict(lr=3e-3, encoder_lr_mult=4.0)),
+    "cns_lr4m2": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_hash_resolution=2048, cp_hash_log2=19,
+                       cp_hash_use_spread=False),
+                  dict(lr=4e-3, encoder_lr_mult=2.0)),
+    "cns_rep": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=1024,
+                     cp_hash_resolution=2048, cp_hash_log2=19,
+                     cp_hash_use_spread=False),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

@@ -38,6 +38,11 @@ def metrics(pred, gt, valid):
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--steps", type=int, default=400)
+  ap.add_argument("--noise_std", type=float, default=0.05,
+                  help="lidar range noise (m) for the noisy protocol")
+  ap.add_argument("--outlier_frac", type=float, default=0.05,
+                  help="fraction of gross-outlier returns (reprojection"
+                       " misalignment regime, YORO:540-625)")
   args = ap.parse_args()
 
   scene = make_synthetic_scene(num_images=10, H=96, W=128, radius=3.0,
@@ -47,31 +52,53 @@ def main():
   test_im, test_d = images[8:], depths[8:]
 
   t0 = time.perf_counter()
-  print(f"training sdc {args.steps} steps ...", flush=True)
+  print(f"training sdc {args.steps} steps (clean) ...", flush=True)
   params, losses = sdc.train_completion(train_im, train_d,
                                         steps=args.steps, lr=1e-3,
                                         crop=64, batch=2, log_every=100)
   print(f"trained in {time.perf_counter()-t0:.0f}s "
         f"(loss {np.mean(losses[:20]):.3f} -> "
         f"{np.mean(losses[-20:]):.3f})", flush=True)
+  t0 = time.perf_counter()
+  print(f"training sdc {args.steps} steps (noise-augmented) ...",
+        flush=True)
+  params_n, losses_n = sdc.train_completion(
+      train_im, train_d, steps=args.steps, lr=1e-3, crop=64, batch=2,
+      log_every=100, noise_std=args.noise_std,
+      outlier_frac=args.outlier_frac)
+  print(f"trained in {time.perf_counter()-t0:.0f}s "
+        f"(loss {np.mean(losses_n[:20]):.3f} -> "
+        f"{np.mean(losses_n[-20:]):.3f})", flush=True)
 
   learned_fn = sdc.make_sdc_completion_fn(params=params)
-  rng = np.random.RandomState(42)
-  rows = {"ip-basic": [], "sdc-learned": []}
-  for im, d in zip(test_im, test_d):
-    sparse = sdc.simulate_lidar_scanlines(d, rng)
-    valid = d > 0.01
-    eval_mask = valid & (sparse == 0)   # completed pixels only
-    rows["ip-basic"].append(
-        metrics(default_completion_fn(im, sparse), d, eval_mask))
-    rows["sdc-learned"].append(
-        metrics(learned_fn(im, sparse), d, eval_mask))
+  learned_fn_n = sdc.make_sdc_completion_fn(params=params_n)
 
-  print("\n| completer | RMSE (m) | MAE (m) | iRMSE (1/km) |")
-  print("|---|---|---|---|")
-  for name, vals in rows.items():
-    v = np.mean(vals, axis=0)
-    print(f"| {name} | {v[0]:.3f} | {v[1]:.3f} | {v[2]:.1f} |")
+  # Two protocols over the SAME held-out frames: clean scanlines
+  # (classical interpolation's best case) and noisy scanlines with
+  # gross outliers (the regime the reference's learned completer
+  # exists for, Sparse-Depth-Completion/Models/model.py).
+  for proto, kw in (("clean", {}),
+                    ("noisy", dict(noise_std=args.noise_std,
+                                   outlier_frac=args.outlier_frac))):
+    rng = np.random.RandomState(42)
+    rows = {"ip-basic": [], "sdc-learned": [], "sdc-noise-aug": []}
+    for im, d in zip(test_im, test_d):
+      sparse = sdc.simulate_lidar_scanlines(d, rng, **kw)
+      valid = d > 0.01
+      eval_mask = valid & (sparse == 0)   # completed pixels only
+      rows["ip-basic"].append(
+          metrics(default_completion_fn(im, sparse), d, eval_mask))
+      rows["sdc-learned"].append(
+          metrics(learned_fn(im, sparse), d, eval_mask))
+      rows["sdc-noise-aug"].append(
+          metrics(learned_fn_n(im, sparse), d, eval_mask))
+
+    print(f"\n[{proto} lidar] "
+          f"| completer | RMSE (m) | MAE (m) | iRMSE (1/km) |")
+    print("|---|---|---|---|")
+    for name, vals in rows.items():
+      v = np.mean(vals, axis=0)
+      print(f"| {name} | {v[0]:.3f} | {v[1]:.3f} | {v[2]:.1f} |")
 
 
 if __name__ == "__main__":

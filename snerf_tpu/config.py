@@ -153,6 +153,7 @@ class Config:
   zip_cp_hash_base_resolution: int = 512
   zip_cp_hash_per_sample: bool = False
   zip_cp_hash_use_spread: bool = True
+  zip_cp_hash_dither: bool = False
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -271,6 +272,7 @@ class Config:
         cp_hash_base_resolution=self.zip_cp_hash_base_resolution,
         cp_hash_per_sample=self.zip_cp_hash_per_sample,
         cp_hash_use_spread=self.zip_cp_hash_use_spread,
+        cp_hash_dither=self.zip_cp_hash_dither,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,

@@ -122,6 +122,12 @@ class ZipNerfConfig:
   # at fine resolutions zeroes the feature for all but tiny intervals.
   cp_hash_per_sample: bool = False
   cp_hash_use_spread: bool = True
+  # train-time stochastic multisample selection for the collapsed query:
+  # gather at ONE randomly chosen cone sample per interval per step — an
+  # unbiased Monte Carlo estimate of the per-sample average at 1/n the
+  # gather cost (per-sample mode: n x gathers). Eval (rng=None) queries
+  # the interval mean, identical to the plain collapsed mode.
+  cp_hash_dither: bool = False
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -278,6 +284,13 @@ class ZipMLP(nn.Module):
           var1 = (std01 ** 2).mean(axis=-1)             # [...]
           if c.cp_hash_use_spread:
             var1 = var1 + ((x01 - m1) ** 2).mean(axis=(-2, -1))
+          if c.cp_hash_dither and rng is not None:
+            n = x01.shape[-2]
+            idx = jax.random.randint(
+                jax.random.fold_in(rng, 7), x01.shape[:-2], 0, n)
+            m1 = jnp.take_along_axis(
+                x01, jnp.broadcast_to(idx[..., None, None],
+                                      x01.shape[:-2] + (1, 3)), axis=-2)
           hfeat = self.hash_fine(m1)[..., 0, :, :]      # [..., L, C]
           w = jax.lax.erf(1.0 / jnp.sqrt(               # [..., L]
               8.0 * var1[..., None] * (g ** 2) + 1e-20))

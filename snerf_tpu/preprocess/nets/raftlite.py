@@ -27,7 +27,8 @@ import numpy as np
 
 from snerf_tpu.preprocess.aggregation import sga
 
-_LEVELS = 3        # correlation pyramid levels
+_LEVELS = 4        # correlation pyramid levels (level 3 covers +-24 px
+                   # full-res from the current estimate — large shifts)
 _RADIUS = 3        # lookup window radius -> (2r+1)^2 taps per level
 
 
@@ -72,6 +73,11 @@ def _corr_pyramid(f0, f1):
   pyr = [corr]
   for _ in range(_LEVELS - 1):
     h, w, h1, w1 = pyr[-1].shape
+    if h1 % 2 or w1 % 2:
+      # feature map not divisible by 2^(LEVELS-1); callers should pad
+      # inputs to a multiple of 4*2^(LEVELS-1)=32 px (pad_to below) so
+      # checkpointed conv shapes (which depend on len(pyr)) stay fixed
+      break
     p = pyr[-1].reshape(h, w, h1 // 2, 2, w1 // 2, 2).mean((3, 5))
     pyr.append(p)
   return pyr
@@ -218,20 +224,38 @@ def synthetic_pair(rng: np.random.RandomState, size=(64, 64),
   # img0 at the backward map of the forward flow (small-warp inverse).
   img1 = map_coordinates(img0, [yy - gy, xx - gx], order=1,
                          mode="nearest")
+  valid = np.ones((H, W), np.float32)
+  if rng.rand() < 0.3:
+    # static occluder pasted into img1: flow under it is undefined
+    # (masked from the loss); teaches motion-boundary robustness.
+    oh = rng.randint(H // 8, H // 3)
+    ow = rng.randint(W // 8, W // 3)
+    oy = rng.randint(0, H - oh)
+    ox = rng.randint(0, W - ow)
+    img1[oy:oy + oh, ox:ox + ow] = rng.uniform(0.2, 0.8)
+    valid[oy:oy + oh, ox:ox + ow] = 0.0
   return (img0[..., None], img1[..., None],
-          np.stack([gx, gy], -1).astype(np.float32))
+          np.stack([gx, gy], -1).astype(np.float32), valid)
 
 
-def sequence_loss(preds: Sequence[jnp.ndarray], gt, gamma=0.8):
+def sequence_loss(preds: Sequence[jnp.ndarray], gt, gamma=0.8,
+                  valid=None):
   n = len(preds)
   loss = 0.0
   for i, p in enumerate(preds):
-    loss = loss + gamma ** (n - 1 - i) * jnp.mean(jnp.abs(p - gt))
+    e = jnp.abs(p - gt)
+    if valid is not None:
+      e = e * valid[..., None]
+      m = jnp.sum(e) / (jnp.sum(valid) * 2 + 1e-6)
+    else:
+      m = jnp.mean(e)
+    loss = loss + gamma ** (n - 1 - i) * m
   return loss
 
 
 def train_raftlite(steps: int = 400, size=(64, 64), lr=3e-4, seed=0,
-                   iters: int = 6, batch: int = 4, log_every: int = 0):
+                   iters: int = 6, batch: int = 4, log_every: int = 0,
+                   max_shift: float = 0.0):
   """Train on synthetic warps; returns (model, params, losses).
 
   Batched pairs (vmap) + cosine lr decay + a shift curriculum (small
@@ -240,7 +264,7 @@ def train_raftlite(steps: int = 400, size=(64, 64), lr=3e-4, seed=0,
   import optax
   model = RaftLite(iters=iters)
   rng = np.random.RandomState(seed)
-  i0, i1, gt = synthetic_pair(rng, size)
+  i0, i1, gt, _ = synthetic_pair(rng, size)
   params = model.init(jax.random.PRNGKey(seed), jnp.asarray(i0),
                       jnp.asarray(i1))["params"]
   # RAFT's own recipe clips gradients at 1.0 — the GRU unroll produces
@@ -254,24 +278,27 @@ def train_raftlite(steps: int = 400, size=(64, 64), lr=3e-4, seed=0,
                      in_axes=(None, 0, 0))
 
   @jax.jit
-  def step(params, opt, i0, i1, gt):
+  def step(params, opt, i0, i1, gt, valid):
     def loss_fn(p):
       preds = batched(p, i0, i1)
-      return sequence_loss(preds, gt)
+      return sequence_loss(preds, gt, valid=valid)
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt = tx.update(grads, opt, params)
     return optax.apply_updates(params, updates), opt, loss
 
+  if not max_shift:
+    max_shift = min(size) * 0.22  # level-3 lookups reach ~24 px full-res
   losses = []
   for s in range(steps):
-    # curriculum: max shift 1.5 -> 6 px over the first 60% of training
-    ms = 1.5 + 4.5 * min(1.0, s / max(1, int(0.6 * steps)))
+    # curriculum: max shift 1.5 -> max over the first 60% of training
+    ms = 1.5 + (max_shift - 1.5) * min(1.0, s / max(1, int(0.6 * steps)))
     triples = [synthetic_pair(rng, size, max_shift=ms)
                for _ in range(batch)]
     i0 = jnp.asarray(np.stack([t[0] for t in triples]))
     i1 = jnp.asarray(np.stack([t[1] for t in triples]))
     gt = jnp.asarray(np.stack([t[2] for t in triples]))
-    params, opt, loss = step(params, opt, i0, i1, gt)
+    valid = jnp.asarray(np.stack([t[3] for t in triples]))
+    params, opt, loss = step(params, opt, i0, i1, gt, valid)
     if log_every and (s + 1) % log_every == 0:
       print(f"[raftlite {s + 1}] loss={float(loss):.4f}", flush=True)
     losses.append(float(loss))
@@ -292,7 +319,7 @@ def load_params(path: str, template):
 
 
 def make_raftlite_flow_fn(params=None, weights_path=None, iters: int = 8,
-                          pad_to: int = 16):
+                          pad_to: int = 32):
   """flow_fn(img0 u8 [H,W,3], img1) -> [H, W, 2] float32 (dx, dy) px —
   the pipeline plug-in contract (preprocess/pipeline.py:12)."""
   model = RaftLite(iters=iters)

@@ -179,8 +179,15 @@ def import_state_dict(sd):
   return p
 
 
-def simulate_lidar_scanlines(depth, rng, n_lines=12, jitter=2):
-  """Sparse scanline samples of a dense depth map (lidar-like rows)."""
+def simulate_lidar_scanlines(depth, rng, n_lines=12, jitter=2,
+                             noise_std=0.0, outlier_frac=0.0):
+  """Sparse scanline samples of a dense depth map (lidar-like rows).
+
+  noise_std (m) + outlier_frac model real lidar reprojection: range
+  noise plus occasional gross errors from motion/calibration misalign
+  (the failure mode the YORO flow-vs-lidar consistency check exists
+  for, YORO:540-625) — the regime where a learned completer earns its
+  keep over classical interpolation."""
   H, W = depth.shape
   sparse = np.zeros_like(depth)
   rows = np.linspace(4, H - 5, n_lines).astype(int)
@@ -189,11 +196,22 @@ def simulate_lidar_scanlines(depth, rng, n_lines=12, jitter=2):
   for r in rows:
     cols = rng.choice(W, size=max(4, W // 3), replace=False)
     sparse[r, cols] = depth[r, cols]
-  return sparse
+  hit = sparse > 0
+  if noise_std > 0:
+    sparse[hit] += rng.randn(int(hit.sum())).astype(depth.dtype) \
+        * noise_std
+  if outlier_frac > 0:
+    out = hit & (rng.rand(H, W) < outlier_frac)
+    n = int(out.sum())
+    if n:
+      sparse[out] = rng.uniform(depth[depth > 0].min(),
+                                depth.max(), n).astype(depth.dtype)
+  return np.maximum(sparse, 0.0) * hit
 
 
 def train_completion(images, depths, steps=200, lr=1e-3, crop=64,
-                     batch=2, seed=0, log_every=0):
+                     batch=2, seed=0, log_every=0,
+                     noise_std=0.0, outlier_frac=0.0):
   """Fit the uncertainty_net to (rgb u8 [N,H,W,3], dense depth_m
   [N,H,W]) with simulated lidar-scanline inputs + L1 loss on all valid
   ground truth. Returns (params, losses)."""
@@ -226,7 +244,8 @@ def train_completion(images, depths, steps=200, lr=1e-3, crop=64,
       x0 = rng.randint(0, W - crop + 1)
       d = depths[i, y0:y0 + crop, x0:x0 + crop]
       rgbc = images[i, y0:y0 + crop, x0:x0 + crop].astype(np.float32)
-      sparse = simulate_lidar_scanlines(d, rng)
+      sparse = simulate_lidar_scanlines(d, rng, noise_std=noise_std,
+                                        outlier_frac=outlier_frac)
       xb.append(np.concatenate([sparse[..., None], rgbc], axis=-1))
       gb.append(d)
       vb.append((d > 0.01).astype(np.float32))

@@ -146,6 +146,47 @@ def test_zipnerf_cp_and_cp_ipe_forward():
     assert rgb.shape == (n, 3) and np.isfinite(rgb).all()
 
 
+def test_zipnerf_cp_hash_query_modes():
+  """cp_hash fine-level query modes: per-sample, collapsed, dithered.
+
+  Dither must be train-time only: with rng=None the dithered model is
+  bit-identical to the plain collapsed one (same params, same query at
+  the interval mean)."""
+  from snerf_tpu.models.zipnerf import ZipNerfConfig, init_zipnerf
+  from snerf_tpu.ops.rays import Rays
+  n = 5
+  d = np.random.RandomState(1).randn(n, 3).astype(np.float32)
+  rays = Rays(origins=jnp.zeros((n, 3)), directions=jnp.asarray(d),
+              viewdirs=jnp.asarray(d / np.linalg.norm(d, axis=-1,
+                                                      keepdims=True)),
+              radii=jnp.full((n, 1), 0.01), lossmult=jnp.ones((n, 1)),
+              near=jnp.full((n, 1), 0.1), far=jnp.full((n, 1), 10.0),
+              app=jnp.zeros((n, 1), jnp.int32))
+  base = dict(
+      encoder_type="cp_hash", num_prop_samples=(4,), num_levels=2,
+      num_nerf_samples=4, sample_n=2, cp_num_levels=2, cp_level_dim=4,
+      cp_base_resolution=16, cp_max_resolution=64, ipe_max_deg=6,
+      cp_hash_resolution=64, cp_hash_level_dim=2, cp_hash_log2=10,
+      ipe_density_width=16, ipe_density_depth=2,
+      bottleneck_width=16, net_width_viewdirs=16)
+  outs = {}
+  for tag, kw in (("per_sample", dict(cp_hash_per_sample=True)),
+                  ("collapsed", dict(cp_hash_use_spread=False)),
+                  ("dither", dict(cp_hash_use_spread=False,
+                                  cp_hash_dither=True))):
+    cfg = ZipNerfConfig(**base, **kw)
+    model, variables = init_zipnerf(jax.random.PRNGKey(0), cfg)
+    rend, _ = model.apply({"params": variables["params"]}, rays,
+                          rng=jax.random.PRNGKey(1), train_frac=0.3)
+    rgb = np.asarray(rend[-1]["rgb"])
+    assert rgb.shape == (n, 3) and np.isfinite(rgb).all(), tag
+    # eval path (rng=None)
+    rend_e, _ = model.apply({"params": variables["params"]}, rays,
+                            rng=None)
+    outs[tag] = np.asarray(rend_e[-1]["rgb"])
+  np.testing.assert_array_equal(outs["dither"], outs["collapsed"])
+
+
 def test_encoder_lr_mult_trains_grid_faster():
   """optax multi_transform group: grid params get encoder_lr_mult x the
   base schedule; net params the base. Verified by applying a uniform
