@@ -43,6 +43,10 @@ def main():
   ap.add_argument("--outlier_frac", type=float, default=0.05,
                   help="fraction of gross-outlier returns (reprojection"
                        " misalignment regime, YORO:540-625)")
+  ap.add_argument("--scale_aug", type=float, default=0.5,
+                  help="log-range of global depth-scale jitter (train"
+                       " AND eval): RGB alone is scale-ambiguous, so"
+                       " the completer must anchor scale on the lidar")
   args = ap.parse_args()
 
   scene = make_synthetic_scene(num_images=10, H=96, W=128, radius=3.0,
@@ -52,20 +56,21 @@ def main():
   test_im, test_d = images[8:], depths[8:]
 
   t0 = time.perf_counter()
-  print(f"training sdc {args.steps} steps (clean) ...", flush=True)
+  print(f"training sdc {args.steps} steps (scale-aug) ...", flush=True)
   params, losses = sdc.train_completion(train_im, train_d,
                                         steps=args.steps, lr=1e-3,
-                                        crop=64, batch=2, log_every=100)
+                                        crop=64, batch=2, log_every=100,
+                                        scale_aug=args.scale_aug)
   print(f"trained in {time.perf_counter()-t0:.0f}s "
         f"(loss {np.mean(losses[:20]):.3f} -> "
         f"{np.mean(losses[-20:]):.3f})", flush=True)
   t0 = time.perf_counter()
-  print(f"training sdc {args.steps} steps (noise-augmented) ...",
+  print(f"training sdc {args.steps} steps (scale+noise-aug) ...",
         flush=True)
   params_n, losses_n = sdc.train_completion(
       train_im, train_d, steps=args.steps, lr=1e-3, crop=64, batch=2,
       log_every=100, noise_std=args.noise_std,
-      outlier_frac=args.outlier_frac)
+      outlier_frac=args.outlier_frac, scale_aug=args.scale_aug)
   print(f"trained in {time.perf_counter()-t0:.0f}s "
         f"(loss {np.mean(losses_n[:20]):.3f} -> "
         f"{np.mean(losses_n[-20:]):.3f})", flush=True)
@@ -76,13 +81,17 @@ def main():
   # Two protocols over the SAME held-out frames: clean scanlines
   # (classical interpolation's best case) and noisy scanlines with
   # gross outliers (the regime the reference's learned completer
-  # exists for, Sparse-Depth-Completion/Models/model.py).
+  # exists for, Sparse-Depth-Completion/Models/model.py). Both apply
+  # a per-frame global depth scale so RGB alone cannot resolve the
+  # answer — the lidar channel is the only source of metric scale
+  # (same ambiguity real street scenes have).
   for proto, kw in (("clean", {}),
                     ("noisy", dict(noise_std=args.noise_std,
                                    outlier_frac=args.outlier_frac))):
     rng = np.random.RandomState(42)
     rows = {"ip-basic": [], "sdc-learned": [], "sdc-noise-aug": []}
     for im, d in zip(test_im, test_d):
+      d = d * np.exp(rng.uniform(-args.scale_aug, args.scale_aug))
       sparse = sdc.simulate_lidar_scanlines(d, rng, **kw)
       valid = d > 0.01
       eval_mask = valid & (sparse == 0)   # completed pixels only

@@ -211,7 +211,8 @@ def simulate_lidar_scanlines(depth, rng, n_lines=12, jitter=2,
 
 def train_completion(images, depths, steps=200, lr=1e-3, crop=64,
                      batch=2, seed=0, log_every=0,
-                     noise_std=0.0, outlier_frac=0.0):
+                     noise_std=0.0, outlier_frac=0.0,
+                     scale_aug=0.0):
   """Fit the uncertainty_net to (rgb u8 [N,H,W,3], dense depth_m
   [N,H,W]) with simulated lidar-scanline inputs + L1 loss on all valid
   ground truth. Returns (params, losses)."""
@@ -243,6 +244,11 @@ def train_completion(images, depths, steps=200, lr=1e-3, crop=64,
       y0 = rng.randint(0, H - crop + 1)
       x0 = rng.randint(0, W - crop + 1)
       d = depths[i, y0:y0 + crop, x0:x0 + crop]
+      if scale_aug > 0:
+        # random global depth scale: RGB is scale-ambiguous, so the
+        # net must anchor absolute depth on the lidar channel instead
+        # of learning the synthetic-scene RGB->depth shortcut.
+        d = d * np.exp(rng.uniform(-scale_aug, scale_aug))
       rgbc = images[i, y0:y0 + crop, x0:x0 + crop].astype(np.float32)
       sparse = simulate_lidar_scanlines(d, rng, noise_std=noise_std,
                                         outlier_frac=outlier_frac)
