@@ -18,6 +18,7 @@ fine on TPU/CPU (SURVEY §2.6.2 blesses non-hot-path lax implementations).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -314,8 +315,17 @@ def save_params(path: str, params):
 def load_params(path: str, template):
   data = dict(np.load(path))
   flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-  leaves = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+  # packaged weights are stored float16 (half the repo bytes); compute
+  # stays f32
+  leaves = [jnp.asarray(data[jax.tree_util.keystr(k)], dtype=jnp.float32)
+            for k, _ in flat]
   return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# f16 weights trained in-repo on synthetic warps (scripts/eval_flow.py
+# --steps 5000); used by make_raftlite_flow_fn when no params are given.
+PACKAGED_WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "weights", "raftlite.npz")
 
 
 def make_raftlite_flow_fn(params=None, weights_path=None, iters: int = 8,
@@ -326,6 +336,8 @@ def make_raftlite_flow_fn(params=None, weights_path=None, iters: int = 8,
   if params is None:
     z = jnp.zeros((32, 32, 1))
     template = model.init(jax.random.PRNGKey(0), z, z)["params"]
+    if weights_path is None and os.path.exists(PACKAGED_WEIGHTS):
+      weights_path = PACKAGED_WEIGHTS
     if weights_path is not None:
       params = load_params(weights_path, template)
     else:

@@ -47,6 +47,30 @@ def test_save_load_roundtrip(tmp_path):
   assert out.shape == (32, 32, 2)
 
 
+def test_packaged_weights_beat_lk_on_large_shift():
+  """The in-repo f16 weights (trained by scripts/eval_flow.py) load by
+  default and solve the large-displacement regime where pyramidal LK
+  breaks (PERF.md round-3 flow table)."""
+  import os
+  from scipy.ndimage import gaussian_filter
+  from snerf_tpu.preprocess.flow import tpu_flow_fn
+  assert os.path.exists(raftlite.PACKAGED_WEIGHTS)
+  rng = np.random.RandomState(3)
+  base = gaussian_filter(rng.rand(64, 96).astype(np.float32), 2.0)
+  shift = 16
+  img1 = np.roll(base, shift, axis=1)
+  i0 = (base[..., None].repeat(3, -1) * 255).astype(np.uint8)
+  i1 = (img1[..., None].repeat(3, -1) * 255).astype(np.uint8)
+  raft = raftlite.make_raftlite_flow_fn()(i0, i1)
+  lk = tpu_flow_fn(i0, i1, levels=4)
+  m = np.zeros((64, 96), bool)
+  m[16:-16, shift + 8:-16] = True
+  epe = lambda f: float(np.median(
+      np.hypot(f[..., 0] - shift, f[..., 1])[m]))
+  assert epe(raft) < 4.0, epe(raft)
+  assert epe(raft) < 0.5 * epe(lk), (epe(raft), epe(lk))
+
+
 def test_synthetic_pair_flow_convention():
   """gt flow satisfies img1(x + flow) ~= img0(x) — the same (dx, dy)
   convention as tpu_flow_fn/farneback (test_preprocess.py)."""
