@@ -314,6 +314,40 @@ ARMS = {
                      cp_hash_resolution=2048, cp_hash_log2=19,
                      cp_hash_use_spread=False),
                 dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-13: (a) group-split queries — k contiguous along-ray
+    # groups per interval, between collapsed (discards along-ray
+    # extent) and per-sample (9x cost); (b) a second fine level ABOVE
+    # the CP ceiling (2048+4096 — run-10's extra levels failed because
+    # 512/1024 duplicate CP coverage) ---
+    "cns_split2": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_use_spread=False, cp_hash_split=2),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_split3": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_use_spread=False, cp_hash_split=3),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns2_4096": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_hash_num_levels=2,
+                       cp_hash_base_resolution=2048,
+                       cp_hash_resolution=4096, cp_hash_log2=19,
+                       cp_hash_use_spread=False),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns2_4096_split2": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                              cp_num_levels=4, cp_level_dim=16,
+                              cp_base_resolution=128,
+                              cp_max_resolution=1024,
+                              cp_hash_num_levels=2,
+                              cp_hash_base_resolution=2048,
+                              cp_hash_resolution=4096, cp_hash_log2=19,
+                              cp_hash_use_spread=False, cp_hash_split=2),
+                         dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

@@ -154,6 +154,7 @@ class Config:
   zip_cp_hash_per_sample: bool = False
   zip_cp_hash_use_spread: bool = True
   zip_cp_hash_dither: bool = False
+  zip_cp_hash_split: int = 0
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -273,6 +274,7 @@ class Config:
         cp_hash_per_sample=self.zip_cp_hash_per_sample,
         cp_hash_use_spread=self.zip_cp_hash_use_spread,
         cp_hash_dither=self.zip_cp_hash_dither,
+        cp_hash_split=self.zip_cp_hash_split,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,

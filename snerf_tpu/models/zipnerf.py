@@ -128,6 +128,11 @@ class ZipNerfConfig:
   # gather cost (per-sample mode: n x gathers). Eval (rng=None) queries
   # the interval mean, identical to the plain collapsed mode.
   cp_hash_dither: bool = False
+  # middle ground between collapsed (1 query/interval, discards the
+  # along-ray extent) and per-sample (n queries): partition the n
+  # multisamples into k contiguous along-ray groups and query each
+  # group's mean — k gathers/interval.
+  cp_hash_split: int = 0
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -278,6 +283,23 @@ class ZipMLP(nn.Module):
           hfeat = self.hash_fine(x01)                   # [..., n, L, C]
           w = jax.lax.erf(1.0 / jnp.sqrt(
               8.0 * (std01[..., None] * g) ** 2 + 1e-20))
+          hfeat = (hfeat * w[..., None]).mean(axis=-3)  # [..., L, C]
+        elif c.cp_hash_split > 1:
+          n = x01.shape[-2]
+          k = min(c.cp_hash_split, n)
+          gid = (jnp.arange(n) * k) // n                # group per sample
+          G = (gid[None, :] == jnp.arange(k)[:, None])  # [k, n] one-hot
+          W = G.astype(x01.dtype) / G.sum(-1, keepdims=True)
+          gm = jnp.einsum("kn,...nd->...kd", W, x01)    # [..., k, 3]
+          gv = jnp.einsum("kn,...n->...k", W, std01 ** 2)
+          if c.cp_hash_use_spread:
+            back = jnp.einsum("nk,...kd->...nd", G.T.astype(x01.dtype),
+                              gm)                       # group mean/sample
+            gv = gv + jnp.einsum("kn,...n->...k", W,
+                                 ((x01 - back) ** 2).mean(-1))
+          hfeat = self.hash_fine(gm)                    # [..., k, L, C]
+          w = jax.lax.erf(1.0 / jnp.sqrt(               # [..., k, L]
+              8.0 * gv[..., None] * (g ** 2) + 1e-20))
           hfeat = (hfeat * w[..., None]).mean(axis=-3)  # [..., L, C]
         else:
           m1 = x01.mean(axis=-2, keepdims=True)         # [..., 1, 3]

@@ -172,6 +172,9 @@ def test_zipnerf_cp_hash_query_modes():
   outs = {}
   for tag, kw in (("per_sample", dict(cp_hash_per_sample=True)),
                   ("collapsed", dict(cp_hash_use_spread=False)),
+                  ("split2", dict(cp_hash_use_spread=False,
+                                  cp_hash_split=2)),
+                  ("split2_spread", dict(cp_hash_split=2)),
                   ("dither", dict(cp_hash_use_spread=False,
                                   cp_hash_dither=True))):
     cfg = ZipNerfConfig(**base, **kw)
