@@ -52,6 +52,73 @@ def test_trained_segnet_beats_sky_only_miou():
   assert learned_miou > 0.4, learned_miou
 
 
+def test_preprocess_to_semantic_training_e2e():
+  """The full semantic supervision chain (VERDICT r2 #3 done-criterion):
+  train the labeler -> predict labels for the training views -> train a
+  zip-nerf with the semantic head on those PREDICTED labels -> rendered
+  semantics on a held-out view must beat the sky-only default, which by
+  construction scores 0 mIoU on the non-sky classes here."""
+  import jax
+  import jax.numpy as jnp
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.data.sampler import scene_to_device
+  from snerf_tpu.models.zipnerf import ZipNerfConfig
+  from snerf_tpu.train.zip_trainer import (
+      ZipTrainConfig, create_zip_train_state, make_zip_train_step)
+
+  ncls = 5
+  scene = make_synthetic_scene(num_images=8, H=24, W=32, datahold=8)
+  gt = np.clip((scene.depths / scene.far * ncls).astype(np.int32),
+               0, ncls - 1)
+  ti = int(np.asarray(scene.i_test)[0])
+  tr = np.asarray(scene.i_train)
+
+  # 1. labeler trained on the train views' gt
+  params, _ = segnet.train_segmentation(
+      scene.images[tr], gt[tr], steps=150, lr=3e-3, crop=24, batch=4,
+      num_classes=ncls)
+  fn = segnet.make_segmentation_fn(params=params, num_classes=ncls,
+                                   emit_pipeline_labels=False)
+  pred_labels = np.stack([fn(im) for im in scene.images])
+  label_miou = segnet.miou(pred_labels[tr], gt[tr], ncls)
+  assert label_miou > 0.3, label_miou
+
+  # 2. zip-nerf semantic head trained on the PREDICTED labels
+  scene.semantics = pred_labels
+  dev = scene_to_device(scene)
+  mcfg = ZipNerfConfig(
+      use_semantic=True, class_num=ncls, num_prop_samples=(8, 8),
+      num_nerf_samples=8, prop_grid_resolutions=(64, 128),
+      nerf_grid_resolution=256, grid_num_levels=4,
+      grid_log2_hashmap_size=12, bottleneck_width=32,
+      net_width_viewdirs=16, sample_n=3,
+      raydist_fn="power_transformation")
+  tcfg = ZipTrainConfig(batch_size=128, max_steps=250, lr_init=5e-3,
+                        lr_final=1e-3, lr_delay_steps=0)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
+                                        tcfg)
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=False)
+  key = jax.random.PRNGKey(1)
+  for _ in range(250):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+  assert np.isfinite(float(m["loss_semantic"]))
+
+  # 3. rendered semantics on the held-out view
+  rays = rays_for_image(jnp.asarray(scene.poses[ti]),
+                        jnp.asarray(scene.intrinsics[ti]), 24, 32,
+                        scene.near, scene.far)
+  flat = jax.tree_util.tree_map(lambda x: x.reshape(-1, x.shape[-1]),
+                                rays)
+  rend = model.apply({"params": state.params}, flat, rng=None)[0][-1]
+  sem_pred = np.asarray(jnp.argmax(rend["semantic"], -1)).reshape(24, 32)
+  rendered_miou = segnet.miou(sem_pred, gt[ti], ncls)
+  # sky-only default: no depth-quantile class exists -> mIoU 0
+  assert rendered_miou > 0.25, rendered_miou
+
+
 def test_pipeline_label_convention():
   t = np.array([[segnet.SKY_TRAINID, 0], [13, 8]], np.int32)
   out = segnet.to_pipeline_labels(t)
