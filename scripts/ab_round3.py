@@ -348,6 +348,33 @@ ARMS = {
                               cp_hash_resolution=4096, cp_hash_log2=19,
                               cp_hash_use_spread=False, cp_hash_split=2),
                          dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-14: split/2-level arms plateaued 42.0-42.5; last levers on
+    # cns: IPE degree ceiling (encode is free, PERF.md double-angle
+    # study) and pushing BOTH frequency ladders up together ---
+    "cns_deg14": (dict(encoder_type="cp_hash", ipe_max_deg=14,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_hash_resolution=2048, cp_hash_log2=19,
+                       cp_hash_use_spread=False),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_deg16": (dict(encoder_type="cp_hash", ipe_max_deg=16,
+                       cp_num_levels=4, cp_level_dim=16,
+                       cp_base_resolution=128, cp_max_resolution=1024,
+                       cp_hash_resolution=2048, cp_hash_log2=19,
+                       cp_hash_use_spread=False),
+                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns5_hi": (dict(encoder_type="cp_hash", ipe_max_deg=14,
+                     cp_num_levels=5, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=2048,
+                     cp_hash_resolution=4096, cp_hash_log2=19,
+                     cp_hash_use_spread=False),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "cns_rep2": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                      cp_num_levels=4, cp_level_dim=16,
+                      cp_base_resolution=128, cp_max_resolution=1024,
+                      cp_hash_resolution=2048, cp_hash_log2=19,
+                      cp_hash_use_spread=False),
+                 dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 
