@@ -41,11 +41,17 @@ def main():
   # enough (384 samples over [2, 4.5] -> dt ~ 0.0065) to integrate it.
   # detail_only: small blobs inside an opaque base blob are invisible
   # (rays stop at its surface) — the texture IS the scene here.
+  # arc: the 5.8 deg FoV (2*atan(64/1266)) demands view spacing well
+  # inside the FoV — 60 deg total over 16 views (4 deg steps) keeps
+  # substantial neighbor frustum overlap (like a turning vehicle) while
+  # preserving angular diversity for depth triangulation; a full circle
+  # left neighbors DISJOINT (11.5 dB) and an 8 deg arc starved depth
+  # constraints (loss plateau).
   scene = make_synthetic_scene(
       num_images=16, H=96, W=128, radius=3.0, near=2.0, far=4.5,
       focal=NUSCENES_FOCAL, detail_blobs=140, detail_extent=0.12,
       detail_sig_range=(0.005, 0.015), detail_only=True,
-      n_render_samples=384, datahold=8)
+      n_render_samples=384, datahold=8, arc=np.deg2rad(60.0))
   os.makedirs(os.path.join(OUT, "images"), exist_ok=True)
   os.makedirs(os.path.join(OUT, "depths"), exist_ok=True)
   n = scene.num_images

@@ -120,7 +120,8 @@ def make_synthetic_scene(num_images: int = 6, H: int = 32, W: int = 40,
                          detail_extent: float = 0.8,
                          detail_sig_range=(0.015, 0.06),
                          detail_only: bool = False,
-                         n_render_samples: int = 96) -> Scene:
+                         n_render_samples: int = 96,
+                         arc: float = None) -> Scene:
   """Cameras on a circle looking at the origin; images rendered analytically.
 
   `focal` (px) overrides the default 0.8*W toy focal — passing a
@@ -128,6 +129,11 @@ def make_synthetic_scene(num_images: int = 6, H: int = 32, W: int = 40,
   CROP with real-scale cone radii (radii ~ 1/focal), the geometry the
   zip-nerf IPE/CP encoders see in production (VERDICT r2 weak #3).
   `detail_blobs` adds that many small high-frequency blobs.
+  `arc` (radians) limits the total azimuth span: a narrow-FoV camera
+  (real focal on a small crop sees only ~2*atan(W/2/focal) ~ 6 deg)
+  needs view spacing well inside its FoV or neighboring views share no
+  scene content and held-out eval is unpredictable by construction.
+  Default None keeps the full-circle layout.
   """
   del seed  # layout is deterministic
   focal = 0.8 * W if focal is None else float(focal)
@@ -138,7 +144,10 @@ def make_synthetic_scene(num_images: int = 6, H: int = 32, W: int = 40,
   K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
   poses, images, depths = [], [], []
   for i in range(num_images):
-    theta = 2 * np.pi * i / num_images
+    if arc is None:
+      theta = 2 * np.pi * i / num_images
+    else:
+      theta = arc * (i / max(1, num_images - 1) - 0.5)
     eye = np.array([radius * np.cos(theta), radius * np.sin(theta), 1.2],
                    np.float32)
     c2w = _look_at(eye)

@@ -36,6 +36,22 @@ def test_fixture_has_real_scale_cone_radii():
   assert 1e-4 < r < 2e-3, r
 
 
+def test_fixture_views_overlap():
+  """The 5.8 deg FoV demands view spacing inside the FoV: with the old
+  full-circle layout neighboring views shared NO content (neighbor PSNR
+  11.5 dB) and held-out eval was unpredictable by construction."""
+  scene = load()
+
+  def psnr(a, b):
+    m = np.mean((a.astype(np.float32) / 255 -
+                 b.astype(np.float32) / 255) ** 2)
+    return -10 * np.log10(m)
+
+  for ti in np.asarray(scene.i_test):
+    nb = ti + 1 if ti + 1 < len(scene.images) else ti - 1
+    assert psnr(scene.images[ti], scene.images[nb]) > 20.0
+
+
 def test_fixture_has_high_frequency_content():
   scene = load()
   # detail blobs must actually produce in-frame texture: neighboring
