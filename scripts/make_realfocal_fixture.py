@@ -42,13 +42,16 @@ def main():
   # detail_only: small blobs inside an opaque base blob are invisible
   # (rays stop at its surface) — the texture IS the scene here.
   # arc: the 5.8 deg FoV (2*atan(64/1266)) demands view spacing well
-  # inside the FoV — 60 deg total over 16 views (4 deg steps) keeps
-  # substantial neighbor frustum overlap (like a turning vehicle) while
-  # preserving angular diversity for depth triangulation; a full circle
-  # left neighbors DISJOINT (11.5 dB) and an 8 deg arc starved depth
-  # constraints (loss plateau).
+  # inside the FoV — 60 deg total over 48 views (1.25 deg steps). A full
+  # circle left neighbors DISJOINT (11.5 dB), an 8 deg arc starved depth
+  # constraints (loss plateau), and 16 views (4 deg steps) let the
+  # optimizer paint per-view detail in each camera's private frustum
+  # wedge (train 26 dB / held-out 12 dB); at 1.25 deg spacing every
+  # point near the blob shell is seen by ~4+ cameras and held-out PSNR
+  # tracks train PSNR (measured: test 23-28 dB vs train 25-28 dB after
+  # 2k steps of zip_cp).
   scene = make_synthetic_scene(
-      num_images=16, H=96, W=128, radius=3.0, near=2.0, far=4.5,
+      num_images=48, H=96, W=128, radius=3.0, near=2.0, far=4.5,
       focal=NUSCENES_FOCAL, detail_blobs=140, detail_extent=0.12,
       detail_sig_range=(0.005, 0.015), detail_only=True,
       n_render_samples=384, datahold=8, arc=np.deg2rad(60.0))
