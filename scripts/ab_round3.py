@@ -375,6 +375,29 @@ ARMS = {
                       cp_hash_resolution=2048, cp_hash_log2=19,
                       cp_hash_use_spread=False),
                  dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # --- run-15: replace the fine HASH level with three DENSE 2D
+    # planes (models/triplane.py) — a 2048^2 plane has zero collisions
+    # where the log2=19 hash under a 2048^3 virtual grid aliases ~16k
+    # cells/row; query stays collapsed-nospread (the cns winner), 12
+    # gathers/query vs 8 ---
+    "tri_cns": (dict(encoder_type="cp_tri", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=1024,
+                     cp_tri_resolution=2048, cp_tri_level_dim=4,
+                     cp_hash_use_spread=False),
+                dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "tri_cns_4096": (dict(encoder_type="cp_tri", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_base_resolution=128, cp_max_resolution=1024,
+                          cp_tri_resolution=4096, cp_tri_level_dim=4,
+                          cp_hash_use_spread=False),
+                     dict(lr=2e-3, encoder_lr_mult=4.0)),
+    "tri_cns_d8": (dict(encoder_type="cp_tri", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_tri_resolution=2048, cp_tri_level_dim=8,
+                        cp_hash_use_spread=False),
+                   dict(lr=2e-3, encoder_lr_mult=4.0)),
 }
 
 

@@ -155,6 +155,10 @@ class Config:
   zip_cp_hash_use_spread: bool = True
   zip_cp_hash_dither: bool = False
   zip_cp_hash_split: int = 0
+  # 'cp_tri': three dense fine 2D planes instead of the fine hash level
+  # (models/triplane.py; shares the cp_hash_* query-mode flags)
+  zip_cp_tri_resolution: int = 2048
+  zip_cp_tri_level_dim: int = 4
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
   zip_sample_n: int = 7
@@ -275,6 +279,8 @@ class Config:
         cp_hash_use_spread=self.zip_cp_hash_use_spread,
         cp_hash_dither=self.zip_cp_hash_dither,
         cp_hash_split=self.zip_cp_hash_split,
+        cp_tri_resolution=self.zip_cp_tri_resolution,
+        cp_tri_level_dim=self.zip_cp_tri_level_dim,
         sample_n=self.zip_sample_n,
         grid_num_levels=self.zip_grid_num_levels,
         grid_log2_hashmap_size=self.zip_log2_hashmap_size,

@@ -74,7 +74,10 @@ class ZipNerfConfig:
   # 'cp_hash' = cp_ipe + ONE fine hash level on the nerf MLP only,
   # queried once per interval at the collapsed Gaussian mean (~1M
   # gathers/step at the reference budget — inside the measured
-  # gather-fast regime, unlike full hash's 0.37G).
+  # gather-fast regime, unlike full hash's 0.37G);
+  # 'cp_tri' = cp_ipe + three DENSE fine 2D planes (models/triplane.py)
+  # instead of the fine hash level: zero hash collisions, 12 gathers per
+  # query (vs 8), same query modes (cp_hash_per_sample/use_spread/...).
   encoder_type: str = "hash"
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
@@ -133,6 +136,10 @@ class ZipNerfConfig:
   # multisamples into k contiguous along-ray groups and query each
   # group's mean — k gathers/interval.
   cp_hash_split: int = 0
+  # fine tri-plane for encoder_type 'cp_tri' (shares the cp_hash_* query
+  # modes above; 3 x resolution^2 x level_dim dense params)
+  cp_tri_resolution: int = 2048
+  cp_tri_level_dim: int = 4
   # heads
   use_semantic: bool = False
   class_num: int = 19
@@ -167,7 +174,7 @@ class ZipMLP(nn.Module):
           desired_resolution=self.grid_resolution,
           log2_hashmap_size=c.grid_log2_hashmap_size, name="grid")
     else:
-      if c.encoder_type in ("cp", "cp_ipe", "cp_hash"):
+      if c.encoder_type in ("cp", "cp_ipe", "cp_hash", "cp_tri"):
         from snerf_tpu.models.cpgrid import CPEncoding
         levels = c.cp_prop_num_levels if self.disable_rgb \
             else c.cp_num_levels
@@ -189,6 +196,11 @@ class ZipMLP(nn.Module):
               base_resolution=base,
               desired_resolution=c.cp_hash_resolution,
               log2_hashmap_size=c.cp_hash_log2, name="hash_fine")
+        elif c.encoder_type == "cp_tri" and not self.disable_rgb:
+          from snerf_tpu.models.triplane import TriplaneEncoding
+          self.hash_fine = TriplaneEncoding(
+              resolution=c.cp_tri_resolution,
+              level_dim=c.cp_tri_level_dim, name="tri_fine")
       else:
         self.encoder = None
       self.ipe_layers = [
@@ -248,7 +260,7 @@ class ZipMLP(nn.Module):
       feats = (feats * w[..., None]).mean(axis=-3)  # mean over n
       feats = feats.reshape(*feats.shape[:-2], -1)
       h = nn.relu(self.density_hidden(feats))
-    elif c.encoder_type in ("cp", "cp_ipe", "cp_hash"):
+    elif c.encoder_type in ("cp", "cp_ipe", "cp_hash", "cp_tri"):
       # Integrated CP-factor grid: dense-matmul encode (cpgrid.py); the
       # per-axis Gaussian profile integrates the feature field under
       # each multisample's Gaussian analytically.
@@ -270,9 +282,10 @@ class ZipMLP(nn.Module):
         var = ((feats - mu) ** 2).mean(axis=-1, keepdims=True)
         feats = (feats - mu) * jax.lax.rsqrt(var + 1e-6)
       parts = [feats]
-      if c.encoder_type in ("cp_ipe", "cp_hash"):
+      if c.encoder_type in ("cp_ipe", "cp_hash", "cp_tri"):
         parts.append(self._ipe_enc(z, new_std, train_frac))
-      if c.encoder_type == "cp_hash" and hasattr(self, "hash_fine"):
+      if (c.encoder_type in ("cp_hash", "cp_tri")
+          and hasattr(self, "hash_fine")):
         # fine hash level(s) on the nerf MLP only, erf-downweighted
         # (models.py:500-502). Gather budget at the reference config:
         # per-interval = levels x ~1M/step; per-sample = n x that —
