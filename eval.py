@@ -139,7 +139,8 @@ def main(argv=None):
 
   mesh = make_mesh() if len(jax.devices()) > 1 else None
   if cfg.model == "zipnerf":
-    params = state.params
+    from snerf_tpu.train.zip_trainer import eval_params
+    params = jax.device_put(eval_params(state))
 
     import functools
     render_fn = functools.partial(make_zip_param_render_fn(model), params)

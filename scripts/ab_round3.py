@@ -398,16 +398,29 @@ ARMS = {
                         cp_tri_resolution=2048, cp_tri_level_dim=8,
                         cp_hash_use_spread=False),
                    dict(lr=2e-3, encoder_lr_mult=4.0)),
+    # EMA-of-params at eval (free at train time; zero step cost)
+    "cns_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                     cp_num_levels=4, cp_level_dim=16,
+                     cp_base_resolution=128, cp_max_resolution=1024,
+                     cp_hash_resolution=2048, cp_hash_log2=19,
+                     cp_hash_use_spread=False),
+                dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    "tri_cns_ema": (dict(encoder_type="cp_tri", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_tri_resolution=2048, cp_tri_level_dim=4,
+                         cp_hash_use_spread=False),
+                    dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
 }
 
 
 def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0,
-        lr_delay=0):
+        lr_delay=0, ema=0.0):
   mcfg = ZipNerfConfig(**mdict, **COMMON)
   tcfg = ZipTrainConfig(batch_size=BATCH, max_steps=STEPS, lr_init=lr,
                         lr_final=lr / 10, lr_delay_steps=lr_delay,
                         lr_delay_mult=1e-3,
-                        encoder_lr_mult=encoder_lr_mult)
+                        encoder_lr_mult=encoder_lr_mult, ema_decay=ema)
   cpu = jax.devices("cpu")[0]
   with jax.default_device(cpu):
     model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
@@ -426,8 +439,10 @@ def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0,
             f"({time.perf_counter()-t0:.0f}s)", flush=True)
       assert np.isfinite(loss)
 
-  # held-out PSNR on 2 test views, chunked render
+  # held-out PSNR on 2 test views, chunked render (EMA params when on)
   from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.train.zip_trainer import eval_params
+  rparams = eval_params(state)
   psnrs = []
   fn = jax.jit(lambda p, r: model.apply({"params": p}, r,
                                         rng=None)[0][-1]["rgb"])
@@ -441,7 +456,7 @@ def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0,
     outs = []
     for s in range(0, n, 4096):
       chunk = jax.tree_util.tree_map(lambda x: x[s:s + 4096], flat)
-      outs.append(np.asarray(fn(state.params, chunk)))
+      outs.append(np.asarray(fn(rparams, chunk)))
     pred = np.concatenate(outs).reshape(*scene.hw, 3)
     gt = scene.images[ti].astype(np.float32) / 255.0
     mse = float(np.mean((pred - gt) ** 2))

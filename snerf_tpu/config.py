@@ -161,6 +161,9 @@ class Config:
   zip_cp_tri_level_dim: int = 4
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
+  # EMA of params for eval/render (0 = off); eval.py and the periodic
+  # held-out renders read the EMA copy when maintained
+  zip_ema_decay: float = 0.0
   zip_sample_n: int = 7
   zip_grid_num_levels: int = 10
   zip_log2_hashmap_size: int = 21
@@ -321,6 +324,7 @@ class Config:
         semantic_smoothness_loss_mult=(
             self.zip_semantic_smoothness_loss_mult),
         encoder_lr_mult=enc_mult,
+        ema_decay=self.zip_ema_decay,
         randomized=self.randomized)
 
   def conf_modes(self):

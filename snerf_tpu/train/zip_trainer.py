@@ -84,6 +84,11 @@ class ZipTrainConfig:
   # tolerate (and want) hash-class lrs ~4x above what MLP trunks survive
   # (PERF.md round-2 A/B: ipe diverges at 8e-3, hash thrives there).
   encoder_lr_mult: float = 1.0
+  # Exponential moving average of params for eval (0 = off). Maintained
+  # on-device inside the jitted step (one fused axpy over the param
+  # pytree — negligible vs the fwd/bwd); renders/eval should read
+  # eval_params(state). Step-warmed: d_t = min(d, (1+t)/(10+t)).
+  ema_decay: float = 0.0
 
 
 class ZipTrainState(flax.struct.PyTreeNode):
@@ -92,6 +97,15 @@ class ZipTrainState(flax.struct.PyTreeNode):
   opt_state: Any
   pose_params: Any = None
   pose_opt_state: Any = None
+  ema_params: Any = None
+
+
+def eval_params(state):
+  """Params to render/eval with: the EMA copy when maintained.
+
+  Accepts any train-state pytree (the mip TrainState has no EMA)."""
+  ema = getattr(state, "ema_params", None)
+  return state.params if ema is None else ema
 
 
 def make_zip_lr_schedule(cfg: ZipTrainConfig):
@@ -178,6 +192,11 @@ def create_zip_train_state(key, model_cfg: ZipNerfConfig,
   tx = _make_tx(cfg)
   state = ZipTrainState(step=jnp.zeros((), jnp.int32), params=params,
                         opt_state=tx.init(params))
+  if cfg.ema_decay > 0:
+    # distinct buffers, NOT an alias of params: the train step donates
+    # the whole state, and XLA rejects donating the same buffer twice
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(jnp.copy, params))
   if cfg.pose_refine and num_images > 0:
     from snerf_tpu.models.posenet import LearnPose
     pose_model = LearnPose(num_cams=num_images)
@@ -433,6 +452,12 @@ def make_zip_train_step(model: ZipNerfModel,
     new_params = optax.apply_updates(state.params, updates)
     state = state.replace(step=state.step + 1, params=new_params,
                           opt_state=new_opt)
+    if cfg.ema_decay > 0 and state.ema_params is not None:
+      t = state.step.astype(jnp.float32)
+      d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+      state = state.replace(ema_params=jax.tree_util.tree_map(
+          lambda e, p: d * e + (1.0 - d) * p, state.ema_params,
+          new_params))
     if pose_model is not None:
       # gate pose updates to the warmup window (train.py:177-214)
       in_window = ((state.step > cfg.pose_start_step) &

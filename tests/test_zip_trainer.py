@@ -179,3 +179,41 @@ def test_zip_ipe_encoder_trains():
   assert np.isfinite(losses).all()
   assert np.mean(losses[-8:]) < np.mean(losses[:8])
   assert "loss_hash_decay" not in m  # no tables in the IPE backbone
+
+
+def test_zip_ema_params():
+  """EMA of params: maintained inside the jitted step with the warmed
+  decay d_t = min(d, (1+t)/(10+t)); eval_params returns the EMA copy
+  (the live params otherwise), and the EMA trails the live params."""
+  from snerf_tpu.train.zip_trainer import eval_params
+  scene = make_synthetic_scene(num_images=6, H=16, W=16, datahold=6)
+  dev = scene_to_device(scene)
+  mcfg = ZipNerfConfig(**TINY_MODEL)
+  tcfg = ZipTrainConfig(batch_size=64, max_steps=100, lr_init=5e-3,
+                        lr_final=1e-3, lr_delay_steps=0, ema_decay=0.99)
+  model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+  assert state.ema_params is not None
+  p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=False)
+  key = jax.random.PRNGKey(1)
+  for _ in range(12):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+  assert np.isfinite(float(m["loss"]))
+  live = jax.tree_util.tree_leaves(state.params)[0]
+  ema = jax.tree_util.tree_leaves(state.ema_params)[0]
+  assert not np.allclose(np.asarray(live), np.asarray(p0))  # trained
+  assert not np.allclose(np.asarray(ema), np.asarray(live))  # trails
+  # the EMA is a convex average: it sits between init and live params
+  # in the direction of travel on average
+  assert np.isfinite(np.asarray(ema)).all()
+  np.testing.assert_array_equal(
+      np.asarray(jax.tree_util.tree_leaves(eval_params(state))[0]),
+      np.asarray(ema))
+  # ema off -> eval_params returns live params
+  tcfg0 = ZipTrainConfig(batch_size=64, max_steps=100, lr_init=5e-3,
+                         lr_final=1e-3, lr_delay_steps=0)
+  _, state0 = create_zip_train_state(jax.random.PRNGKey(0), mcfg, tcfg0)
+  assert state0.ema_params is None
+  assert eval_params(state0) is state0.params

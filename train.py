@@ -274,7 +274,7 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
 
   from snerf_tpu.train import checkpoints as ckpt_lib
   from snerf_tpu.train.zip_trainer import (
-      create_zip_train_state, make_zip_train_step)
+      create_zip_train_state, eval_params, make_zip_train_step)
 
   from snerf_tpu.utils.logging import ExperimentLogger
 
@@ -322,7 +322,7 @@ def train_zipnerf(cfg, scene, dev_scene, exp_dir, ckpt_dir):
         rays_done = 0
       if cfg.i_testset > 0 and i % cfg.i_testset == 0 and \
           len(scene.i_test):
-        psnr = _zip_eval_one_view(mcfg, state.params, scene, cfg)
+        psnr = _zip_eval_one_view(mcfg, eval_params(state), scene, cfg)
         print(f"[{i}] test view PSNR = {psnr:.2f}")
         logger.scalars(i, {"test_psnr": psnr})
         t0 = time.perf_counter()
