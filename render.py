@@ -118,7 +118,8 @@ def main(argv=None):
     Ks = scene.intrinsics[idxs]
 
   import functools
-  params = jax.device_put(state.params)  # one batched host->device move
+  from snerf_tpu.train.zip_trainer import eval_params
+  params = jax.device_put(eval_params(state))  # one batched h->d move
   if cfg.model == "zipnerf":
     from snerf_tpu.train.renderer import make_zip_param_render_fn
     render_fn = functools.partial(make_zip_param_render_fn(model), params)

@@ -30,6 +30,7 @@ from snerf_tpu.train.zip_trainer import (
 STEPS = int(os.environ.get("AB_STEPS", 1200))
 BATCH = int(os.environ.get("AB_BATCH", 1024))
 SKIP_REFBUDGET = bool(int(os.environ.get("AB_SKIP_REFBUDGET", "0")))
+SEED = int(os.environ.get("AB_SEED", 0))  # seed-noise studies
 COMMON = dict(num_prop_samples=(16, 16), num_nerf_samples=8, sample_n=3,
               raydist_fn="power_transformation")
 
@@ -423,12 +424,12 @@ def run(tag, mdict, scene, dev, lr=2e-3, encoder_lr_mult=1.0,
                         encoder_lr_mult=encoder_lr_mult, ema_decay=ema)
   cpu = jax.devices("cpu")[0]
   with jax.default_device(cpu):
-    model, state = create_zip_train_state(jax.random.PRNGKey(0), mcfg,
+    model, state = create_zip_train_state(jax.random.PRNGKey(SEED), mcfg,
                                           tcfg)
   state = jax.device_put(state, jax.devices()[0])
   step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
                              scene.near, scene.far, donate=True)
-  key = jax.random.PRNGKey(1)
+  key = jax.random.PRNGKey(SEED + 1)
   t0 = time.perf_counter()
   for i in range(1, STEPS + 1):
     key, k = jax.random.split(key)
