@@ -327,3 +327,18 @@ def test_cli_zip_periodic_test_render(tmp_path):
   psnrs = [e["test_psnr"] for e in entries if "test_psnr" in e]
   assert len(psnrs) == 2  # steps 2 and 4
   assert all(np.isfinite(p) for p in psnrs)
+
+
+def test_cp_tri_and_ema_flags_flow_to_configs():
+  """round-3 flags: --zip_encoder cp_tri + --zip_ema_decay reach the
+  model/train configs (and the encoder-aware lr defaults still fire)."""
+  from snerf_tpu.config import Config
+  cfg = Config(zip_encoder="cp_tri", zip_cp_tri_resolution=512,
+               zip_cp_tri_level_dim=8, zip_ema_decay=0.999)
+  m = cfg.zip_model_config()
+  assert m.encoder_type == "cp_tri"
+  assert m.cp_tri_resolution == 512 and m.cp_tri_level_dim == 8
+  t = cfg.zip_train_config()
+  assert t.ema_decay == 0.999
+  # non-hash encoders drop the hash lr schedule unless overridden
+  assert t.lr_init == 0.002 and t.encoder_lr_mult == 4.0
