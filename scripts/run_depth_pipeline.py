@@ -33,6 +33,10 @@ def main():
   p.add_argument("--flow_weights", default="",
                  help="npz weights for --flow raftlite "
                       "(scripts/eval_flow.py --save trains them)")
+  p.add_argument("--flow_tile", type=int, default=384,
+                 help="raftlite tiled-inference crop size for frames "
+                      "larger than this (the all-pairs correlation "
+                      "volume is O((HW/16)^2) memory); 0 = never tile")
   p.add_argument("--completion", default="classical",
                  choices=["classical", "sdc"],
                  help="sdc = learned uncertainty_net "
@@ -76,7 +80,7 @@ def main():
   elif args.flow == "raftlite":
     from snerf_tpu.preprocess.nets.raftlite import make_raftlite_flow_fn
     flow_fn = make_raftlite_flow_fn(
-        weights_path=args.flow_weights or None)
+        weights_path=args.flow_weights or None, tile=args.flow_tile)
   else:
     flow_fn = lambda a, b: np.zeros(a.shape[:2] + (2,), np.float32)
 

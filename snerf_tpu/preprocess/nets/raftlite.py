@@ -329,9 +329,20 @@ PACKAGED_WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def make_raftlite_flow_fn(params=None, weights_path=None, iters: int = 8,
-                          pad_to: int = 32):
+                          pad_to: int = 32, tile: int = 0,
+                          tile_overlap: int = 64):
   """flow_fn(img0 u8 [H,W,3], img1) -> [H, W, 2] float32 (dx, dy) px —
-  the pipeline plug-in contract (preprocess/pipeline.py:12)."""
+  the pipeline plug-in contract (preprocess/pipeline.py:12).
+
+  tile > 0 enables tiled inference for full-frame inputs: the all-pairs
+  correlation volume is O((HW/16)^2) memory (a 900x1600 nuScenes frame
+  would need ~32 GB at 1/4 res), so frames larger than `tile` are
+  processed as overlapping `tile`x`tile` crops whose flows are blended
+  with a separable linear feather. Valid as long as the true flow
+  magnitude stays under `tile_overlap` (the net's lookup pyramid only
+  reaches +-24 px anyway — SepFlow-class preprocessing flow, not
+  arbitrary-displacement flow). One XLA compile total: every crop has
+  the same static shape."""
   model = RaftLite(iters=iters)
   if params is None:
     z = jnp.zeros((32, 32, 1))
@@ -353,10 +364,49 @@ def make_raftlite_flow_fn(params=None, weights_path=None, iters: int = 8,
 
   fwd = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b)[-1])
 
+  def _feather(n: int, lo_edge: bool, hi_edge: bool) -> np.ndarray:
+    # linear ramp over the overlap band; frame-boundary edges stay 1 so
+    # the first/last tiles own their borders fully
+    wgt = np.ones(n, np.float32)
+    ramp = np.linspace(1.0 / (tile_overlap + 1), 1.0, tile_overlap,
+                       dtype=np.float32)
+    if not lo_edge:
+      wgt[:tile_overlap] = ramp
+    if not hi_edge:
+      wgt[n - tile_overlap:] = ramp[::-1]
+    return wgt
+
   def flow_fn(img0, img1):
     g0 = _gray(img0)
     g1 = _gray(img1)
     h, w = g0.shape[:2]
+    if tile and max(h, w) > tile:
+      t = -(-tile // pad_to) * pad_to          # static crop size
+      stride = t - tile_overlap
+      hp = max(t - h, 0)
+      wp = max(t - w, 0)
+      p0 = np.pad(g0, ((0, hp), (0, wp), (0, 0)), mode="edge")
+      p1 = np.pad(g1, ((0, hp), (0, wp), (0, 0)), mode="edge")
+      H, W = p0.shape[:2]
+      ys = list(range(0, max(H - t, 0) + 1, stride))
+      xs = list(range(0, max(W - t, 0) + 1, stride))
+      if ys[-1] + t < H:
+        ys.append(H - t)                       # flush-fit final row/col
+      if xs[-1] + t < W:
+        xs.append(W - t)
+      acc = np.zeros((H, W, 2), np.float32)
+      den = np.zeros((H, W, 1), np.float32)
+      for y in ys:
+        for x in xs:
+          out = np.asarray(fwd(params,
+                               jnp.asarray(p0[y:y + t, x:x + t]),
+                               jnp.asarray(p1[y:y + t, x:x + t])))
+          wy = _feather(t, y == ys[0], y == ys[-1])
+          wx = _feather(t, x == xs[0], x == xs[-1])
+          wgt = (wy[:, None] * wx[None, :])[..., None]
+          acc[y:y + t, x:x + t] += out * wgt
+          den[y:y + t, x:x + t] += wgt
+      return (acc / np.maximum(den, 1e-8))[:h, :w].astype(np.float32)
     hp = -h % pad_to
     wp = -w % pad_to
     g0 = np.pad(g0, ((0, hp), (0, wp), (0, 0)), mode="edge")

@@ -71,6 +71,38 @@ def test_packaged_weights_beat_lk_on_large_shift():
   assert epe(raft) < 0.5 * epe(lk), (epe(raft), epe(lk))
 
 
+def test_tiled_inference_matches_untiled():
+  """Tiled full-frame mode (ROADMAP: correlation volume is O((HW/16)^2),
+  so nuScenes frames must be cropped): the feather-blended tile flows
+  agree with the direct single-pass flow away from the frame border."""
+  from scipy.ndimage import gaussian_filter
+  rng = np.random.RandomState(5)
+  base = gaussian_filter(rng.rand(96, 160).astype(np.float32), 2.0)
+  img1 = np.roll(np.roll(base, 5, axis=1), 2, axis=0)
+  i0 = (base[..., None].repeat(3, -1) * 255).astype(np.uint8)
+  i1 = (img1[..., None].repeat(3, -1) * 255).astype(np.uint8)
+  full = raftlite.make_raftlite_flow_fn()(i0, i1)
+  tiled = raftlite.make_raftlite_flow_fn(tile=64, tile_overlap=32)(i0, i1)
+  assert tiled.shape == full.shape and np.isfinite(tiled).all()
+  m = np.zeros((96, 160), bool)
+  m[16:-16, 16:-16] = True
+  gt_epe = float(np.median(np.hypot(tiled[..., 0] - 5,
+                                    tiled[..., 1] - 2)[m]))
+  diff = float(np.median(np.hypot(*(tiled - full).transpose(2, 0, 1))[m]))
+  assert gt_epe < 2.0, gt_epe
+  assert diff < 1.0, diff
+
+
+def test_tiled_small_image_is_single_pass():
+  """Images <= tile take the direct path (bit-identical to untiled)."""
+  rng = np.random.RandomState(0)
+  i0 = rng.randint(0, 255, (40, 56, 3), np.uint8)
+  i1 = rng.randint(0, 255, (40, 56, 3), np.uint8)
+  a = raftlite.make_raftlite_flow_fn(iters=2)(i0, i1)
+  b = raftlite.make_raftlite_flow_fn(iters=2, tile=64)(i0, i1)
+  np.testing.assert_array_equal(a, b)
+
+
 def test_synthetic_pair_flow_convention():
   """gt flow satisfies img1(x + flow) ~= img0(x) — the same (dx, dy)
   convention as tpu_flow_fn/farneback (test_preprocess.py)."""
