@@ -145,7 +145,8 @@ def main(argv=None):
     import functools
     render_fn = functools.partial(make_zip_param_render_fn(model), params)
   else:
-    render_fn = make_eval_render_fn(model, state.params,
+    from snerf_tpu.train.zip_trainer import eval_params
+    render_fn = make_eval_render_fn(model, eval_params(state),
                                     white_bkgd=cfg.white_bkgd)
   harness = MetricHarness(lpips=cfg.lpips)
   H, W = scene.hw

@@ -412,6 +412,45 @@ ARMS = {
                          cp_tri_resolution=2048, cp_tri_level_dim=4,
                          cp_hash_use_spread=False),
                     dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    # --- run-16: cns_ema hit 42.95 (EMA 0.999 buys +0.29 over cns's
+    # 42.66); decay is the remaining free knob — the warmed decay
+    # ramps in over ~1/(1-d) steps, so 0.9995 averages a ~2000-step
+    # window of the 1200-step protocol (likely too long), 0.995 a
+    # ~200-step window ---
+    "cns_ema995": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_use_spread=False),
+                   dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.995)),
+    "cns_ema9995": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_resolution=2048, cp_hash_log2=19,
+                         cp_hash_use_spread=False),
+                    dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.9995)),
+    "cns_ema998": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                        cp_num_levels=4, cp_level_dim=16,
+                        cp_base_resolution=128, cp_max_resolution=1024,
+                        cp_hash_resolution=2048, cp_hash_log2=19,
+                        cp_hash_use_spread=False),
+                   dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.998)),
+    # EMA stacked on the two capacity arms that edged past plain cns
+    # (42.68 @ 21.8k and 42.45 @ 17.3k in runs 11/13)
+    "cns_max_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_resolution=4096, cp_hash_log2=21,
+                         cp_hash_level_dim=8, cp_hash_use_spread=False),
+                    dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    "cns2_4096_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                           cp_num_levels=4, cp_level_dim=16,
+                           cp_base_resolution=128, cp_max_resolution=1024,
+                           cp_hash_num_levels=2,
+                           cp_hash_base_resolution=2048,
+                           cp_hash_resolution=4096, cp_hash_log2=19,
+                           cp_hash_use_spread=False),
+                      dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
 }
 
 

@@ -104,6 +104,9 @@ class Config:
   seg_mask: bool = False
   grad_max_norm: float = 0.0
   single_image: bool = True
+  # EMA of params for eval/render (0 = off), mip/classic families —
+  # the zip family's knob is zip_ema_decay
+  ema_decay: float = 0.0
 
   # --- logging / checkpoints ---
   # lax.scan multi-step unroll: >1 keeps state on device between host
@@ -250,7 +253,7 @@ class Config:
         pose_refine=self.pose_refine, grad_max_norm=self.grad_max_norm,
         depth_conf=self.depth_conf, conf_num=self.conf_num,
         conf_tau=self.tau, conf_modes=self.conf_modes(),
-        use_skymask_conf=self.skymask)
+        use_skymask_conf=self.skymask, ema_decay=self.ema_decay)
 
   def zip_model_config(self):
     import jax.numpy as jnp

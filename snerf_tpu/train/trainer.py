@@ -69,6 +69,10 @@ class TrainConfig:
   # grad hygiene
   grad_max_norm: float = 0.0
   grad_max_val: float = 0.0
+  # Exponential moving average of params for eval (0 = off); same
+  # warmed-decay scheme as the zip trainer (zip_trainer.py ema_decay):
+  # d_t = min(d, (1+t)/(10+t)), maintained on-device inside the step.
+  ema_decay: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -79,6 +83,7 @@ class TrainState(flax.struct.PyTreeNode):
   pose_opt_state: Any = None
   conf_params: Any = None
   conf_opt_state: Any = None
+  ema_params: Any = None
 
 
 def make_lr_schedule(cfg: TrainConfig):
@@ -116,6 +121,11 @@ def create_train_state(key, model_cfg, cfg: TrainConfig,
       step=jnp.zeros((), jnp.int32),
       params=params,
       opt_state=tx.init(params))
+  if cfg.ema_decay > 0:
+    # distinct buffers, NOT an alias of params: the train step donates
+    # the whole state, and XLA rejects donating the same buffer twice
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(jnp.copy, params))
   pose_model = None
   if cfg.pose_refine:
     pose_model = LearnPose(num_cams=num_images)
@@ -304,6 +314,12 @@ def make_train_step(model: MipNerfModel,
     new_params = optax.apply_updates(state.params, updates)
     state = state.replace(step=state.step + 1, params=new_params,
                           opt_state=new_opt_state)
+    if cfg.ema_decay > 0 and state.ema_params is not None:
+      t = state.step.astype(jnp.float32)
+      d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+      state = state.replace(ema_params=jax.tree_util.tree_map(
+          lambda e, p: d * e + (1.0 - d) * p, state.ema_params,
+          new_params))
     if pose_model is not None:
       p_updates, new_pose_opt = pose_tx.update(
           pose_grads, state.pose_opt_state, state.pose_params)

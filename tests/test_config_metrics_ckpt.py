@@ -342,3 +342,7 @@ def test_cp_tri_and_ema_flags_flow_to_configs():
   assert t.ema_decay == 0.999
   # non-hash encoders drop the hash lr schedule unless overridden
   assert t.lr_init == 0.002 and t.encoder_lr_mult == 4.0
+  # mip-family EMA is a separate knob (--ema_decay)
+  cfg2 = Config(ema_decay=0.995)
+  assert cfg2.train_config().ema_decay == 0.995
+  assert cfg2.zip_train_config().ema_decay == 0.0

@@ -92,6 +92,42 @@ def test_train_loss_decreases():
   assert np.isfinite(losses).all()
 
 
+def test_mip_ema_params():
+  """EMA-of-params on the mip trainer (same warmed-decay scheme as the
+  zip trainer): maintained inside the jitted step; eval_params returns
+  the EMA copy, which trails the live params."""
+  from snerf_tpu.train.zip_trainer import eval_params
+  scene = small_scene()
+  dev = scene_to_device(scene)
+  mcfg = MipNerfConfig(num_samples=8, num_fine=8, hidden_layer=32,
+                       proposal_hidden_layer=32, density_noise=0.0)
+  tcfg = TrainConfig(n_rgb=64, n_iters=100, lrate=2e-3, lrate_final=1e-3,
+                     lrate_delay_steps=0, ema_decay=0.99)
+  model, pose_model, state = create_train_state(
+      jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+  assert state.ema_params is not None
+  step = make_train_step(model, pose_model, tcfg, dev,
+                         scene.i_train, scene.near, scene.far,
+                         donate=False)
+  key = jax.random.PRNGKey(1)
+  for _ in range(8):
+    key, k = jax.random.split(key)
+    state, metrics = step(state, k)
+  assert np.isfinite(float(metrics["loss_rgb"]))
+  live = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+  ema = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+  assert not np.allclose(ema, live)          # trails
+  assert np.isfinite(ema).all()
+  np.testing.assert_array_equal(
+      np.asarray(jax.tree_util.tree_leaves(eval_params(state))[0]), ema)
+  # off by default -> no buffers, eval_params returns live params
+  tcfg0 = TrainConfig(n_rgb=64, n_iters=100)
+  _, _, state0 = create_train_state(
+      jax.random.PRNGKey(0), mcfg, tcfg0, scene.num_images)
+  assert state0.ema_params is None
+  assert eval_params(state0) is state0.params
+
+
 def test_train_step_sharded_on_mesh():
   """Multi-chip path: batch-shard rays over the 8-device CPU mesh."""
   scene = small_scene()

@@ -182,7 +182,8 @@ def main(argv=None):
         rays_done = 0
       if cfg.i_testset > 0 and i % cfg.i_testset == 0 and \
           len(scene.i_test):
-        psnr, img = _eval_one_view(model, state.params, scene, cfg)
+        from snerf_tpu.train.zip_trainer import eval_params
+        psnr, img = _eval_one_view(model, eval_params(state), scene, cfg)
         print(f"[{i}] test view PSNR = {psnr:.2f}")
         logger.scalars(i, {"test_psnr": psnr})
         logger.image(i, "test_render", img)
