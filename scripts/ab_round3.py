@@ -451,6 +451,48 @@ ARMS = {
                            cp_hash_resolution=4096, cp_hash_log2=19,
                            cp_hash_use_spread=False),
                       dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    # --- run-18: capacity unlocks via the run-7 warmup fix (lr_delay
+    # 300 defeats the density-collapse stall that killed every >=256-dim
+    # encoder at lr_delay=0), stacked with EMA on the winning base ---
+    "cns_warm_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                          cp_num_levels=4, cp_level_dim=16,
+                          cp_base_resolution=128, cp_max_resolution=1024,
+                          cp_hash_resolution=2048, cp_hash_log2=19,
+                          cp_hash_use_spread=False),
+                     dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300,
+                          ema=0.999)),
+    "cns_f64_warm_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                              cp_num_levels=4, cp_level_dim=64,
+                              cp_base_resolution=128,
+                              cp_max_resolution=1024,
+                              cp_hash_resolution=2048, cp_hash_log2=19,
+                              cp_hash_use_spread=False),
+                         dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300,
+                              ema=0.999)),
+    "cp64_warm_ema": (dict(encoder_type="cp_ipe", ipe_max_deg=12,
+                           cp_num_levels=4, cp_level_dim=64,
+                           cp_base_resolution=128, cp_max_resolution=1024),
+                      dict(lr=2e-3, encoder_lr_mult=4.0, lr_delay=300,
+                           ema=0.999)),
+    "cns_pair_warm_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                               cp_num_levels=4, cp_level_dim=16,
+                               cp_pair_dim=16,
+                               cp_base_resolution=128,
+                               cp_max_resolution=1024,
+                               cp_hash_resolution=2048, cp_hash_log2=19,
+                               cp_hash_use_spread=False),
+                          dict(lr=2e-3, encoder_lr_mult=4.0,
+                               lr_delay=300, ema=0.999)),
+    "cns2_4096_warm_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                                cp_num_levels=4, cp_level_dim=16,
+                                cp_base_resolution=128,
+                                cp_max_resolution=1024,
+                                cp_hash_num_levels=2,
+                                cp_hash_base_resolution=2048,
+                                cp_hash_resolution=4096, cp_hash_log2=19,
+                                cp_hash_use_spread=False),
+                           dict(lr=2e-3, encoder_lr_mult=4.0,
+                                lr_delay=300, ema=0.999)),
 }
 
 
