@@ -493,6 +493,34 @@ ARMS = {
                                 cp_hash_use_spread=False),
                            dict(lr=2e-3, encoder_lr_mult=4.0,
                                 lr_delay=300, ema=0.999)),
+    # --- run-20: low-passed factor init vs the cross-seed droop (the
+    # hash arm is seed-stable at 44.0-44.5; the CP arms drop ~1.2 dB on
+    # seeds 1-2 — init-luck of the white-noise multiplicative factors).
+    # Smoothing the init noise along the resolution axis removes the
+    # high-frequency density the bad seeds start with. ---
+    "cns_ema_sm4": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_init_smooth=4.0,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_resolution=2048, cp_hash_log2=19,
+                         cp_hash_use_spread=False),
+                    dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    "cns_ema_sm8": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                         cp_num_levels=4, cp_level_dim=16,
+                         cp_init_smooth=8.0,
+                         cp_base_resolution=128, cp_max_resolution=1024,
+                         cp_hash_resolution=2048, cp_hash_log2=19,
+                         cp_hash_use_spread=False),
+                    dict(lr=2e-3, encoder_lr_mult=4.0, ema=0.999)),
+    # smooth init may also lift the lr ceiling (3e-3 diverged white)
+    "cns_ema_sm4_lr3": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                             cp_num_levels=4, cp_level_dim=16,
+                             cp_init_smooth=4.0,
+                             cp_base_resolution=128,
+                             cp_max_resolution=1024,
+                             cp_hash_resolution=2048, cp_hash_log2=19,
+                             cp_hash_use_spread=False),
+                        dict(lr=3e-3, encoder_lr_mult=4.0, ema=0.999)),
 }
 
 

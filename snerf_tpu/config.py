@@ -148,6 +148,7 @@ class Config:
   zip_cp_anneal_frac: float = 0.0   # coarse-to-fine level window
   zip_cp_collapse: bool = True      # moment-matched multisample collapse
   zip_cp_pair_dim: int = 0          # rank-F2 pair products (tri-plane)
+  zip_cp_init_smooth: float = 0.0   # low-pass sigma for factor init
   # 'cp_hash': fine hash level(s) on the nerf MLP, per-interval or
   # per-multisample query (models/zipnerf.py cp_hash_* docs)
   zip_cp_hash_resolution: int = 2048
@@ -277,6 +278,7 @@ class Config:
         cp_anneal_frac=self.zip_cp_anneal_frac,
         cp_collapse_multisamples=self.zip_cp_collapse,
         cp_pair_dim=self.zip_cp_pair_dim,
+        cp_init_smooth=self.zip_cp_init_smooth,
         cp_hash_resolution=self.zip_cp_hash_resolution,
         cp_hash_log2=self.zip_cp_hash_log2,
         cp_hash_num_levels=self.zip_cp_hash_num_levels,

@@ -77,6 +77,13 @@ class CPEncoding(nn.Module):
   max_resolution: int = 1024
   bump_width: float = 0.75       # RBF sigma, in units of grid spacing
   init_scale: float = 0.1
+  # Low-pass the init noise along the resolution axis with a Gaussian
+  # of this sigma (grid cells); 0 = white noise. White-noise products
+  # give some seeds pathological high-frequency density at t=0 — the
+  # measured ~1.2 dB cross-seed droop of the CP arms (PERF.md run-18)
+  # that the seed-stable hash arm doesn't show. Smoothing preserves the
+  # marginal std (renormalized to init_scale).
+  init_smooth: float = 0.0
   # pair_dim > 0 adds rank-`pair_dim` PAIR products per level — each
   # (a, b) axis pair contributes (w_a @ P_a) * (w_b @ P_b), i.e. a
   # CP-decomposed tri-plane (TensoRF-VM's planes at rank pair_dim):
@@ -94,7 +101,20 @@ class CPEncoding(nn.Module):
     # from 1). A zero-mean init would make prod of 3 factors ~ s^3 with
     # vanishing gradients into each factor.
     def init_fn(key, shape, dtype=jnp.float32):
-      return 1.0 + self.init_scale * jax.random.normal(key, shape, dtype)
+      noise = jax.random.normal(key, shape, dtype)
+      if self.init_smooth > 0:
+        # depthwise 1-D Gaussian blur along the resolution axis
+        # (shape [3, R, F]), std renormalized to keep init_scale
+        rad = max(1, int(round(3 * self.init_smooth)))
+        t = jnp.arange(-rad, rad + 1, dtype=dtype)
+        k = jnp.exp(-0.5 * (t / self.init_smooth) ** 2)
+        k = k / k.sum()
+        sm = jax.vmap(  # over the leading axis-triplet
+            lambda n: jax.vmap(  # over feature channels
+                lambda col: jnp.convolve(col, k, mode="same"),
+                in_axes=1, out_axes=1)(n))(noise)
+        noise = sm / (jnp.std(sm) + 1e-12)
+      return 1.0 + self.init_scale * noise
     self.factors = [
         self.param(f"v{l}", init_fn, (3, r, self.level_dim), jnp.float32)
         for l, r in enumerate(self.resolutions)]

@@ -104,6 +104,7 @@ class ZipNerfConfig:
   cp_prop_num_levels: int = 3
   cp_prop_level_dim: int = 8
   cp_init_scale: float = 0.1
+  cp_init_smooth: float = 0.0  # low-pass sigma for factor init noise
   cp_pair_dim: int = 0     # rank-F2 pair products (decomposed tri-plane)
   # Encoder-output normalization. The round-3 sweep found a hard
   # divergence boundary at >=256 total encoder dims (F=64 or F=16+pair16
@@ -185,6 +186,7 @@ class ZipMLP(nn.Module):
                                 self.grid_resolution),
             max_resolution=min(c.cp_max_resolution, self.grid_resolution),
             bump_width=c.cp_bump_width, init_scale=c.cp_init_scale,
+            init_smooth=c.cp_init_smooth,
             pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
             compute_dtype=dt, name="cp_grid")
         if c.encoder_type == "cp_hash" and not self.disable_rgb:

@@ -227,3 +227,27 @@ def test_hash_budget_warning():
                          sample_n=1, grid_num_levels=3)
   tiny_t = ZipTrainConfig(batch_size=64)
   assert maybe_warn_hash_on_tpu(tiny_m, tiny_t, platform="tpu") == ""
+
+
+def test_init_smooth_lowpass():
+  """init_smooth low-passes the factor init noise along the resolution
+  axis while preserving the init_scale marginal std (the cross-seed
+  droop mitigation, PERF.md run-18/20)."""
+  import numpy as np
+  from snerf_tpu.models.cpgrid import CPEncoding
+  x = jnp.full((5, 3, 3), 0.5)
+  s = jnp.full((5, 3), 0.01)
+  stats = {}
+  for sm in (0.0, 4.0):
+    enc = CPEncoding(num_levels=2, level_dim=8, base_resolution=32,
+                     max_resolution=64, init_smooth=sm)
+    v = enc.init(jax.random.PRNGKey(1), x, s)
+    d = np.asarray(v["params"]["v1"]) - 1.0
+    ac = np.mean(d[:, :-1] * d[:, 1:]) / np.mean(d * d)
+    stats[sm] = (d.std(), ac)
+    out = enc.apply(v, x, s)
+    assert np.isfinite(np.asarray(out)).all()
+  assert stats[0.0][0] == pytest.approx(0.1, rel=0.05)
+  assert stats[4.0][0] == pytest.approx(0.1, rel=0.05)   # std preserved
+  assert abs(stats[0.0][1]) < 0.2                        # white
+  assert stats[4.0][1] > 0.9                             # low-passed
