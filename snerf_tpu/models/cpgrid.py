@@ -78,11 +78,11 @@ class CPEncoding(nn.Module):
   bump_width: float = 0.75       # RBF sigma, in units of grid spacing
   init_scale: float = 0.1
   # Low-pass the init noise along the resolution axis with a Gaussian
-  # of this sigma (grid cells); 0 = white noise. White-noise products
-  # give some seeds pathological high-frequency density at t=0 — the
-  # measured ~1.2 dB cross-seed droop of the CP arms (PERF.md run-18)
-  # that the seed-stable hash arm doesn't show. Smoothing preserves the
-  # marginal std (renormalized to init_scale).
+  # of this sigma (grid cells); 0 = white noise (default). Tested as a
+  # fix for the ~1.2 dB cross-seed droop of short-schedule CP runs and
+  # REFUTED (PERF.md run-20: sm4 scores within noise of white init on
+  # both droopy seeds); the droop is cured by schedule length instead
+  # (run-19). Kept as an init-shaping knob.
   init_smooth: float = 0.0
   # pair_dim > 0 adds rank-`pair_dim` PAIR products per level — each
   # (a, b) axis pair contributes (w_a @ P_a) * (w_b @ P_b), i.e. a
