@@ -521,6 +521,27 @@ ARMS = {
                              cp_hash_resolution=2048, cp_hash_log2=19,
                              cp_hash_use_spread=False),
                         dict(lr=3e-3, encoder_lr_mult=4.0, ema=0.999)),
+    # --- run-22: does the capacity curve extend past F=64? (run-20:
+    # F=16 plateaus at 44.1, F=64 reaches 45.73 @ 20k steps) ---
+    "cns_f128_warm_ema": (dict(encoder_type="cp_hash", ipe_max_deg=12,
+                               cp_num_levels=4, cp_level_dim=128,
+                               cp_base_resolution=128,
+                               cp_max_resolution=1024,
+                               cp_hash_resolution=2048, cp_hash_log2=19,
+                               cp_hash_use_spread=False),
+                          dict(lr=2e-3, encoder_lr_mult=4.0,
+                               lr_delay=2000, ema=0.999)),
+    "cns_f64_pair_warm_ema": (dict(encoder_type="cp_hash",
+                                   ipe_max_deg=12,
+                                   cp_num_levels=4, cp_level_dim=64,
+                                   cp_pair_dim=16,
+                                   cp_base_resolution=128,
+                                   cp_max_resolution=1024,
+                                   cp_hash_resolution=2048,
+                                   cp_hash_log2=19,
+                                   cp_hash_use_spread=False),
+                              dict(lr=2e-3, encoder_lr_mult=4.0,
+                                   lr_delay=2000, ema=0.999)),
 }
 
 
