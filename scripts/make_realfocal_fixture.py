@@ -61,6 +61,16 @@ def main():
   c2ws = np.tile(np.eye(4)[None], (n, 1, 1))
   for i in range(n):
     c2ws[i, :3, :4] = scene.poses[i]
+  # build_poses_bounds expects OpenCV-convention c2ws ([right, down,
+  # front] columns — what the real nuScenes extractor supplies); the
+  # synthetic scene's poses are in the LOADER'S OUTPUT convention
+  # [right, up, back]. Writing them unconverted flips each camera's
+  # y/z on the way back through load_nuscenes_scene, so rays no longer
+  # match the images and training collapses (~10 dB held-out across
+  # every encoder — PERF.md round-3 bench_quality debugging).
+  c2ws[:, :3, 1] *= -1.0   # up -> down
+  c2ws[:, :3, 2] *= -1.0   # back -> front
+  for i in range(n):
     imageio.imwrite(os.path.join(OUT, "images", f"{i:04d}.png"),
                     scene.images[i])
     d16 = np.clip(scene.depths[i] * 256, 0, 65535).astype(np.uint16)

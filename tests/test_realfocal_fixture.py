@@ -101,3 +101,29 @@ def test_zip_cp_trains_on_realfocal_fixture():
   win = [float(np.mean(losses[i:i + 60])) for i in range(0, 360, 60)]
   assert all(b < a for a, b in zip(win, win[1:])), win
   assert win[-1] < 0.9 * win[0], win
+
+
+def test_fixture_multiview_photoconsistency():
+  """The DISK-loaded fixture must be geometrically consistent: warping
+  a neighbor view through the loaded depth + poses + intrinsics must
+  photometrically match. Guards the generator's pose-convention
+  contract with build_poses_bounds — before the round-3 fix the
+  written c2ws were in the loader's OUTPUT convention instead of
+  OpenCV, each camera came back y/z-flipped, and every model family
+  flatlined at ~10 dB held-out while this metric read
+  photo_err 0.30 / valid 58% (fixed: 0.005 / 99%)."""
+  from snerf_tpu.models.confidence import warp_image
+  scene = load()
+  for i in (5, 20, 35):
+    base = jnp.asarray(scene.images[i], jnp.float32) / 255.0
+    tgt = jnp.asarray(scene.images[i + 1], jnp.float32) / 255.0
+    fake, _, _, valid = warp_image(
+        jnp.asarray(scene.depths[i]), jnp.asarray(scene.poses[i]),
+        jnp.asarray(scene.intrinsics[i]), tgt,
+        jnp.asarray(scene.depths[i + 1]),
+        jnp.asarray(scene.poses[i + 1]),
+        jnp.asarray(scene.intrinsics[i + 1]))
+    v = np.asarray(valid)
+    err = float(np.abs(np.asarray(fake) - np.asarray(base))[v].mean())
+    assert v.mean() > 0.9, v.mean()
+    assert err < 0.03, err
