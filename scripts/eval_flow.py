@@ -67,6 +67,33 @@ def fixtures(H=96, W=128):
   m = np.zeros((H, W), bool)
   m[24:-24, 32:-32] = True
   out["large-shift"] = (base, img1, gt, m)
+
+  # 5. street pair with geometry ground truth (VERDICT r3 #5): two
+  # consecutive frames of the committed street-focal fixture, GT flow
+  # from depth+pose reprojection (the same projection the multiview
+  # photo-consistency regression test validates to 0.005 photo err).
+  import jax.numpy as jnp
+  from snerf_tpu.data.scene import load_nuscenes_scene
+  from snerf_tpu.models.confidence import project_to_view
+  fx = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "tests", "fixtures",
+      "nuscenes_realfocal")
+  sc = load_nuscenes_scene(fx, bd_factor=0.0, cam_num=0, datahold=8,
+                           no_align=True)
+  i = 20
+  tx, ty, _, in_front = project_to_view(
+      jnp.asarray(sc.depths[i]), jnp.asarray(sc.poses[i]),
+      jnp.asarray(sc.intrinsics[i]), jnp.asarray(sc.poses[i + 1]),
+      jnp.asarray(sc.intrinsics[i + 1]))
+  hh, ww = sc.depths[i].shape
+  yy2, xx2 = np.mgrid[0:hh, 0:ww].astype(np.float32)
+  gt = np.stack([np.asarray(tx) - xx2, np.asarray(ty) - yy2], -1)
+  valid = (np.asarray(in_front) & (sc.depths[i] > 0) &
+           (np.asarray(tx) >= 0) & (np.asarray(tx) <= ww - 1) &
+           (np.asarray(ty) >= 0) & (np.asarray(ty) <= hh - 1))
+  g0 = sc.images[i].astype(np.float32).mean(-1) / 255.0
+  g1 = sc.images[i + 1].astype(np.float32).mean(-1) / 255.0
+  out["street-pair"] = (g0, g1, gt, valid)
   return out
 
 
@@ -88,30 +115,38 @@ def main():
   args = ap.parse_args()
 
   t0 = time.perf_counter()
-  print(f"training raftlite {args.steps} steps ...", flush=True)
-  _, params, losses = raftlite.train_raftlite(
-      steps=args.steps, size=(64, 64), iters=args.iters, lr=args.lr,
-      batch=args.batch, log_every=100)
-  print(f"trained in {time.perf_counter()-t0:.0f}s, "
-        f"final loss {np.mean(losses[-50:]):.4f}", flush=True)
-  if args.save:
-    raftlite.save_params(args.save, params)
-    print(f"saved {args.save}")
+  if args.steps == 0:
+    params = None   # make_raftlite_flow_fn loads the packaged weights
+    print("using packaged raftlite weights", flush=True)
+  else:
+    print(f"training raftlite {args.steps} steps ...", flush=True)
+    _, params, losses = raftlite.train_raftlite(
+        steps=args.steps, size=(64, 64), iters=args.iters, lr=args.lr,
+        batch=args.batch, log_every=100)
+    print(f"trained in {time.perf_counter()-t0:.0f}s, "
+          f"final loss {np.mean(losses[-50:]):.4f}", flush=True)
+    if args.save:
+      raftlite.save_params(args.save, params)
+      print(f"saved {args.save}")
 
   raft_fn = raftlite.make_raftlite_flow_fn(params=params,
                                            iters=args.iters)
   lk_fn = lambda a, b: tpu_flow_fn(a, b, levels=4)
+  from snerf_tpu.preprocess.flow import make_hybrid_flow_fn
+  hybrid_fn = make_hybrid_flow_fn(raft_fn=raft_fn)
 
   rows = []
   for name, (i0, i1, gt, mask) in fixtures().items():
     f_lk = lk_fn(i0, i1)
     f_raft = raft_fn(i0, i1)
-    rows.append((name, epe(f_lk, gt, mask), epe(f_raft, gt, mask)))
+    f_hyb = hybrid_fn(i0, i1)
+    rows.append((name, epe(f_lk, gt, mask), epe(f_raft, gt, mask),
+                 epe(f_hyb, gt, mask)))
 
-  print("\n| fixture | LK median EPE (px) | RAFT-lite median EPE (px) |")
-  print("|---|---|---|")
-  for name, a, b in rows:
-    print(f"| {name} | {a:.3f} | {b:.3f} |")
+  print("\n| fixture | LK | RAFT-lite | hybrid (median EPE px) |")
+  print("|---|---|---|---|")
+  for name, a, b, c in rows:
+    print(f"| {name} | {a:.3f} | {b:.3f} | {c:.3f} |")
 
 
 if __name__ == "__main__":

@@ -4,8 +4,9 @@ run.py + run_pipeline.py).
 
 Consumes per-camera frame data prepared as npz bundles and produces
 depths/<cam>/%04d.png (uint16, meters x 256) via the plug-in pipeline
-(snerf_tpu.preprocess.pipeline). Flow defaults to classical Farneback;
-pass --flow none to use zero flow (keeps everything, no consistency
+(snerf_tpu.preprocess.pipeline). Flow defaults to the hybrid provider
+(RAFT-lite init + LK sub-pixel polish + photometric selection); pass
+--flow none to use zero flow (keeps everything, no consistency
 filtering) or plug a learned model in library use.
 
 Input contract per camera dir: frames.npz with arrays
@@ -28,8 +29,12 @@ def main():
   p.add_argument("--datadir", required=True,
                  help="dir with <cam>/frames.npz per camera")
   p.add_argument("--outdir", required=True)
-  p.add_argument("--flow", default="tpu",
-                 choices=["tpu", "farneback", "raftlite", "none"])
+  p.add_argument("--flow", default="hybrid",
+                 choices=["hybrid", "tpu", "farneback", "raftlite",
+                          "none"],
+                 help="hybrid (default) = RAFT-lite init + LK polish "
+                      "+ photometric selection — >= LK on every eval "
+                      "fixture (scripts/eval_flow.py table in PERF.md)")
   p.add_argument("--flow_weights", default="",
                  help="npz weights for --flow raftlite "
                       "(scripts/eval_flow.py --save trains them)")
@@ -73,7 +78,13 @@ def main():
   if not camera_frames:
     sys.exit(f"no <cam>/frames.npz bundles under {args.datadir}")
 
-  if args.flow == "tpu":
+  if args.flow == "hybrid":
+    from snerf_tpu.preprocess.flow import make_hybrid_flow_fn
+    from snerf_tpu.preprocess.nets.raftlite import make_raftlite_flow_fn
+    raft_fn = make_raftlite_flow_fn(
+        weights_path=args.flow_weights or None, tile=args.flow_tile)
+    flow_fn = make_hybrid_flow_fn(raft_fn=raft_fn)
+  elif args.flow == "tpu":
     flow_fn = tpu_flow_fn
   elif args.flow == "farneback":
     flow_fn = farneback_flow_fn

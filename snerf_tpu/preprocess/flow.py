@@ -95,13 +95,17 @@ def _resize(img, shape):
 
 @functools.lru_cache(maxsize=None)
 def _lk_jitted(shape, levels, iters, win, sigma):
-  """Compile one pyramidal-LK program per image shape."""
+  """Compile one pyramidal-LK program per image shape.
+
+  flow_of(g0, g1, init_yx): init_yx [H, W, 2] (dy, dx) seeds the
+  COARSEST pyramid level (downsampled + rescaled) instead of zero —
+  the polish path of the hybrid flow (make_hybrid_flow_fn)."""
   import jax
   import jax.numpy as jnp
 
   H, W = shape
 
-  def flow_of(g0, g1):
+  def flow_of(g0, g1, init_yx):
     kb = _gauss1d(5, 1.0)
     kw = _gauss1d(win, sigma)
     # contrast-normalize so the 2x2-solve damping is scale-free
@@ -117,7 +121,9 @@ def _lk_jitted(shape, levels, iters, win, sigma):
       p0.append(_resize(_sep_conv(p0[-1], kb), (h2, w2)))
       p1.append(_resize(_sep_conv(p1[-1], kb), (h2, w2)))
 
-    flow = jnp.zeros(p0[-1].shape + (2,), jnp.float32)  # (dy, dx)
+    ch, cw = p0[-1].shape
+    flow = _resize(init_yx, (ch, cw, 2)) * jnp.array(
+        [ch / H, cw / W], jnp.float32)               # (dy, dx)
     for lvl in range(levels - 1, -1, -1):
       a, b = p0[lvl], p1[lvl]
       h, w = a.shape
@@ -181,8 +187,92 @@ def tpu_flow_fn(img0, img1, levels: int = 4, iters: int = 3,
     raise ValueError(f"frame shapes differ: {g0.shape} vs {g1.shape}")
   fn = _lk_jitted(g0.shape, int(levels), int(iters), int(win),
                   float(sigma))
-  flow_yx = np.asarray(fn(jnp.asarray(g0), jnp.asarray(g1)))
+  zero = jnp.zeros(g0.shape + (2,), jnp.float32)
+  flow_yx = np.asarray(fn(jnp.asarray(g0), jnp.asarray(g1), zero))
   return flow_yx[..., ::-1].copy()  # (dy, dx) -> (dx, dy)
+
+
+def lk_polish(img0, img1, init_dxdy, levels: int = 2, iters: int = 3,
+              win: int = 21, sigma: float = 5.0) -> np.ndarray:
+  """Sub-pixel LK refinement of an initial flow field (dx, dy) px.
+
+  Runs the same dense-LK solver as tpu_flow_fn but seeded with
+  `init_dxdy` at a shallow pyramid (the init already carries the
+  large-displacement structure; LK supplies the sub-pixel tail its
+  window solve is better at). Completes the reference's two-stage
+  intent where SepFlow's refinement hierarchy lives inside the network
+  (external/SeparableFlow-main/core/sepflow.py:1-259)."""
+  import jax.numpy as jnp
+
+  g0 = _to_gray_f32(img0)
+  g1 = _to_gray_f32(img1)
+  fn = _lk_jitted(g0.shape, int(levels), int(iters), int(win),
+                  float(sigma))
+  init_yx = jnp.asarray(np.asarray(init_dxdy, np.float32)[..., ::-1])
+  flow_yx = np.asarray(fn(jnp.asarray(g0), jnp.asarray(g1), init_yx))
+  return flow_yx[..., ::-1].copy()
+
+
+@functools.lru_cache(maxsize=None)
+def _residual_jitted(shape, win, sigma):
+  """Windowed photometric residual of a candidate flow (lower=better)."""
+  import jax
+  import jax.numpy as jnp
+
+  H, W = shape
+  kw = _gauss1d(win, sigma)
+
+  def resid(g0, g1, flow_yx):
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32),
+                          indexing="ij")
+    grid = jnp.stack([gy, gx], axis=-1)
+    warped = _bilinear(g1, grid + flow_yx)
+    return _sep_conv((warped - g0) ** 2, kw)
+
+  return jax.jit(resid)
+
+
+def make_hybrid_flow_fn(raft_fn: Callable | None = None,
+                        polish_levels: int = 2, iters: int = 3,
+                        win: int = 21, sigma: float = 5.0,
+                        sel_win: int = 9) -> Callable:
+  """Hybrid flow: RAFT-lite initialization + LK sub-pixel polish +
+  per-pixel photometric selection against the pure-LK candidate.
+
+  RAFT-lite carries the large-displacement regime its correlation
+  pyramid is built for; the LK polish restores sub-pixel accuracy; the
+  selector keeps whichever candidate (polished-RAFT vs full-pyramid LK)
+  has the lower Gaussian-windowed photometric residual, so the hybrid
+  upper-bounds both parents wherever brightness constancy holds.
+  Mirrors the role of the reference's SepFlow stage
+  (scripts/depth_model/external/SeparableFlow-main/core/sepflow.py)
+  in the YORO depth pipeline."""
+  import jax.numpy as jnp
+
+  if raft_fn is None:
+    from snerf_tpu.preprocess.nets import raftlite
+    raft_fn = raftlite.make_raftlite_flow_fn()
+
+  def flow_fn(img0, img1):
+    g0 = _to_gray_f32(img0)
+    g1 = _to_gray_f32(img1)
+    f_lk = tpu_flow_fn(img0, img1, iters=iters, win=win, sigma=sigma)
+    f_raft = np.asarray(raft_fn(img0, img1), np.float32)
+    f_pol = lk_polish(img0, img1, f_raft, levels=polish_levels,
+                      iters=iters, win=win, sigma=sigma)
+    resid = _residual_jitted(g0.shape, int(sel_win), float(sel_win) / 3)
+    e_lk = np.asarray(resid(jnp.asarray(g0), jnp.asarray(g1),
+                            jnp.asarray(f_lk[..., ::-1])))
+    e_pol = np.asarray(resid(jnp.asarray(g0), jnp.asarray(g1),
+                             jnp.asarray(f_pol[..., ::-1])))
+    # strict-improvement margin: where brightness constancy is broken
+    # (occlusions) the residuals tie at noise level — prefer the LK
+    # candidate there rather than flip-flopping on noise
+    use_pol = (e_pol < 0.98 * e_lk)[..., None]
+    return np.where(use_pol, f_pol, f_lk).astype(np.float32)
+
+  return flow_fn
 
 
 def make_model_flow_fn(model: Callable) -> Callable:
