@@ -78,6 +78,19 @@ def main():
   learned_fn = sdc.make_sdc_completion_fn(params=params)
   learned_fn_n = sdc.make_sdc_completion_fn(params=params_n)
 
+  from snerf_tpu.preprocess.nets import nlspn
+  t0 = time.perf_counter()
+  print(f"training nlspn {args.steps} steps (scale+noise-aug) ...",
+        flush=True)
+  params_nl, losses_nl = nlspn.train_completion(
+      train_im, train_d, steps=args.steps, lr=1e-3, crop=64, batch=2,
+      log_every=100, noise_std=args.noise_std,
+      outlier_frac=args.outlier_frac, scale_aug=args.scale_aug)
+  print(f"trained in {time.perf_counter()-t0:.0f}s "
+        f"(loss {np.mean(losses_nl[:20]):.3f} -> "
+        f"{np.mean(losses_nl[-20:]):.3f})", flush=True)
+  nlspn_fn = nlspn.make_nlspn_completion_fn(params=params_nl)
+
   # Two protocols over the SAME held-out frames: clean scanlines
   # (classical interpolation's best case) and noisy scanlines with
   # gross outliers (the regime the reference's learned completer
@@ -89,7 +102,8 @@ def main():
                     ("noisy", dict(noise_std=args.noise_std,
                                    outlier_frac=args.outlier_frac))):
     rng = np.random.RandomState(42)
-    rows = {"ip-basic": [], "sdc-learned": [], "sdc-noise-aug": []}
+    rows = {"ip-basic": [], "sdc-learned": [], "sdc-noise-aug": [],
+            "nlspn-noise-aug": []}
     for im, d in zip(test_im, test_d):
       d = d * np.exp(rng.uniform(-args.scale_aug, args.scale_aug))
       sparse = sdc.simulate_lidar_scanlines(d, rng, **kw)
@@ -101,6 +115,8 @@ def main():
           metrics(learned_fn(im, sparse), d, eval_mask))
       rows["sdc-noise-aug"].append(
           metrics(learned_fn_n(im, sparse), d, eval_mask))
+      rows["nlspn-noise-aug"].append(
+          metrics(nlspn_fn(im, sparse), d, eval_mask))
 
     print(f"\n[{proto} lidar] "
           f"| completer | RMSE (m) | MAE (m) | iRMSE (1/km) |")

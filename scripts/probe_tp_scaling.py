@@ -1,0 +1,109 @@
+"""Virtual-mesh TP scaling probe (VERDICT r3 next #10).
+
+Measures per-step wall time and compiled collective counts for the
+mip trainer under pure data parallelism (8x1) vs 2-D (data, model)
+tensor parallelism (4x2, 2x4) at EQUAL global batch on the 8-device
+virtual CPU mesh — the perf datapoint behind the TP claim that so far
+had only loss-equality evidence (tests/test_tensor_parallel.py).
+
+CPU absolute times do not transfer to TPU; what transfers is (a) the
+collective schedule XLA SPMD inserts for the sharding annotations
+(counted from the optimized HLO) and (b) the relative step-time curve
+shape. Run:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/probe_tp_scaling.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def collective_counts(compiled):
+  """Instruction-definition counts per collective op in optimized HLO."""
+  txt = compiled.as_text()
+  out = {}
+  for op in ("all-reduce", "all-gather", "reduce-scatter",
+             "collective-permute", "all-to-all"):
+    n = 0
+    for line in txt.splitlines():
+      if "=" not in line:
+        continue
+      rhs = line.split("=", 1)[1].lstrip()
+      # strip the result-shape prefix, e.g. "f32[8,16]{1,0} all-reduce("
+      head = rhs.split("(")[0].split()[-1] if "(" in rhs else ""
+      if head == op or head == op + "-start":
+        n += 1
+    out[op] = n
+  return out
+
+
+def run(shape, batch, steps=12, hidden=1024):
+  import jax.numpy as jnp
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.data.sampler import scene_to_device
+  from snerf_tpu.models.mipnerf import MipNerfConfig
+  from snerf_tpu.parallel import make_mesh, make_mesh_2d
+  from snerf_tpu.train.trainer import (
+      TrainConfig, create_train_state, make_train_step)
+
+  dp, tp = shape
+  mesh = make_mesh(jax.devices()) if tp == 1 else make_mesh_2d(dp, tp)
+  scene = make_synthetic_scene(num_images=4, H=32, W=32)
+  dev = scene_to_device(scene)
+  mcfg = MipNerfConfig(num_samples=16, num_fine=16, hidden_layer=hidden,
+                       proposal_hidden_layer=256, density_noise=0.0)
+  tcfg = TrainConfig(n_rgb=batch, depth_loss=True, proposal_loss=True,
+                     n_iters=steps)
+  model, pose_model, state = create_train_state(
+      jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+  step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
+                         scene.near, scene.far, donate=False, mesh=mesh)
+  with mesh:
+    state, m = step(state, jax.random.PRNGKey(0))   # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+      state, m = step(state, jax.random.PRNGKey(i + 1))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    lowered = step.lower(state, jax.random.PRNGKey(0)) \
+        if hasattr(step, "lower") else None
+  cc = {}
+  if lowered is not None:
+    try:
+      cc = collective_counts(lowered.compile())
+    except Exception as e:          # pragma: no cover
+      cc = {"error": str(e)}
+  return dt, cc, float(m["loss"])
+
+
+def main():
+  batch = 4096
+  print(f"devices={jax.device_count()} global_batch={batch} "
+        f"hidden=1024 (TP shards the wide trunk)")
+  rows = []
+  for shape in ((8, 1), (4, 2), (2, 4)):
+    dt, cc, loss = run(shape, batch)
+    rows.append((shape, dt, cc, loss))
+    print(f"| {shape[0]}x{shape[1]} | {dt * 1e3:.1f} ms/step | "
+          f"{cc} | loss {loss:.4f} |", flush=True)
+  base = rows[0][1]
+  for shape, dt, _, _ in rows[1:]:
+    print(f"{shape}: {dt / base:.2f}x DP step time")
+
+
+if __name__ == "__main__":
+  main()

@@ -43,11 +43,14 @@ def main():
                       "larger than this (the all-pairs correlation "
                       "volume is O((HW/16)^2) memory); 0 = never tile")
   p.add_argument("--completion", default="classical",
-                 choices=["classical", "sdc"],
+                 choices=["classical", "sdc", "nlspn"],
                  help="sdc = learned uncertainty_net "
-                      "(nets/sdc.py; reference Models/model.py)")
+                      "(nets/sdc.py; reference Models/model.py); "
+                      "nlspn = non-local spatial propagation "
+                      "(nets/nlspn.py; reference YORO:706-714)")
   p.add_argument("--completion_weights", default="",
-                 help=".pth/.npz checkpoint for --completion sdc")
+                 help=".pth/.npz checkpoint for --completion sdc, "
+                      ".npz for nlspn")
   p.add_argument("--segmentation", default="classical",
                  choices=["classical", "erfnet"],
                  help="erfnet = learned labeler (nets/segnet.py; "
@@ -99,6 +102,10 @@ def main():
   if args.completion == "sdc":
     from snerf_tpu.preprocess.nets.sdc import make_sdc_completion_fn
     completion_fn = make_sdc_completion_fn(
+        weights_path=args.completion_weights or None)
+  elif args.completion == "nlspn":
+    from snerf_tpu.preprocess.nets.nlspn import make_nlspn_completion_fn
+    completion_fn = make_nlspn_completion_fn(
         weights_path=args.completion_weights or None)
 
   segmentation_fn = None

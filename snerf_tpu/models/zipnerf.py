@@ -79,6 +79,17 @@ class ZipNerfConfig:
   # instead of the fine hash level: zero hash collisions, 12 gathers per
   # query (vs 8), same query modes (cp_hash_per_sample/use_spread/...).
   encoder_type: str = "hash"
+  # World pre-scale applied before the mip-360 contraction. The
+  # reference always feeds the model a PCA-normalized world
+  # (transform_poses_pca scales camera spread into [-1,1]^3,
+  # internal/camera_utils.py:162-203) so street content straddles the
+  # unit ball; a metric-scale bounded scene loaded without that
+  # normalization (content at radius r >> 1) lands deep in the
+  # contracted tail where radial encoder resolution falls as 1/r^2.
+  # Set scene_scale ~= 1/far for bounded scenes to keep content inside
+  # the unit ball (zero contraction distortion); leave 1.0 for
+  # PCA-normalized unbounded scenes.
+  scene_scale: float = 1.0
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
   ipe_density_width: int = 256
@@ -251,7 +262,8 @@ class ZipMLP(nn.Module):
     mean over the n multisamples (models.py:484-518).
     """
     c = self.cfg
-    z, new_std = coord.contract_mean_std(means, stds)
+    z, new_std = coord.contract_mean_std(means * c.scene_scale,
+                                         stds * c.scene_scale)
     if c.encoder_type == "hash":
       # contract maps into [-2, 2]; normalize to [0, 1] for the grid.
       x01 = (z / 2.0 + 1.0) / 2.0

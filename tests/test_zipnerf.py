@@ -197,3 +197,26 @@ def test_hash_encode_input_gradient_matches_fd():
     fd = (f(x0 + e) - f(x0 - e)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g[0, d]), np.asarray(fd),
                                rtol=2e-2, atol=1e-4)
+
+
+def test_scene_scale_prescales_contraction():
+  """scene_scale s on world means must equal scale-1.0 on pre-scaled
+  means (the transform_poses_pca-normalized world the reference always
+  feeds the model, internal/camera_utils.py:162-203)."""
+  import dataclasses
+  cfg1 = ZipNerfConfig(**TINY, encoder_type="ipe", scene_scale=1.0)
+  model1, variables = init_zipnerf(jax.random.PRNGKey(0), cfg1)
+  cfg2 = dataclasses.replace(cfg1, scene_scale=0.25)
+  model2, _ = init_zipnerf(jax.random.PRNGKey(0), cfg2)
+
+  means = jnp.asarray(np.random.RandomState(0).randn(5, 3, 3) * 3.0)
+  stds = jnp.abs(jnp.asarray(np.random.RandomState(1).rand(5, 3))) * 0.1
+
+  def dens(model, vars_, m, s):
+    return model.apply(vars_, m, s, method=lambda mdl, m_, s_:
+                       mdl.nerf_mlp.predict_density(m_, s_)[0])
+
+  d_scaled = dens(model2, variables, means, stds)
+  d_pre = dens(model1, variables, means * 0.25, stds * 0.25)
+  np.testing.assert_allclose(np.asarray(d_scaled), np.asarray(d_pre),
+                             rtol=1e-5, atol=1e-5)
