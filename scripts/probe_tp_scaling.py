@@ -50,7 +50,7 @@ def collective_counts(compiled):
   return out
 
 
-def run(shape, batch, steps=12, hidden=1024):
+def run(shape, batch, steps=6, hidden=1024):
   import jax.numpy as jnp
   from snerf_tpu.data import make_synthetic_scene
   from snerf_tpu.data.sampler import scene_to_device
@@ -72,26 +72,23 @@ def run(shape, batch, steps=12, hidden=1024):
   step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
                          scene.near, scene.far, donate=False, mesh=mesh)
   with mesh:
-    state, m = step(state, jax.random.PRNGKey(0))   # compile
+    # AOT-compile ONCE; reuse the executable for both the collective
+    # census and the timing loop (a second trace via step() would
+    # double the dominant CPU-compile cost).
+    compiled = step.lower(state, jax.random.PRNGKey(0)).compile()
+    cc = collective_counts(compiled)
+    state, m = compiled(state, jax.random.PRNGKey(0))   # warm caches
     float(m["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
-      state, m = step(state, jax.random.PRNGKey(i + 1))
+      state, m = compiled(state, jax.random.PRNGKey(i + 1))
     float(m["loss"])
     dt = (time.perf_counter() - t0) / steps
-    lowered = step.lower(state, jax.random.PRNGKey(0)) \
-        if hasattr(step, "lower") else None
-  cc = {}
-  if lowered is not None:
-    try:
-      cc = collective_counts(lowered.compile())
-    except Exception as e:          # pragma: no cover
-      cc = {"error": str(e)}
   return dt, cc, float(m["loss"])
 
 
 def main():
-  batch = 4096
+  batch = int(os.environ.get("TP_PROBE_BATCH", 1024))
   print(f"devices={jax.device_count()} global_batch={batch} "
         f"hidden=1024 (TP shards the wide trunk)")
   rows = []

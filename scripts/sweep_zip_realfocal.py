@@ -54,7 +54,7 @@ ARMS = {
     "samples_deg16_lin": dict(
         encoder="ipe",
         overrides=dict(num_prop_samples=(64, 64), num_nerf_samples=32,
-                       ipe_max_deg=16, raydist_fn="linear")),
+                       ipe_max_deg=16, raydist_fn=None)),
     # anneal off (anneal_slope=10 biases early prop weights)
     "samples_deg16_noanneal": dict(
         encoder="ipe",
@@ -146,6 +146,78 @@ ARMS = {
         overrides=dict(dilation_multiplier=0.0, dilation_bias=0.0,
                        num_prop_samples=(64, 64), num_nerf_samples=32,
                        ipe_density_width=512)),
+    # batch 6: interval-width diagnostics. Give zip mip's final-interval
+    # width outright — 64 nerf samples, dilation off (reciprocal of
+    # bench_quality's mip_fine16 arm: if interval width is the binding
+    # constraint, TRAIN psnr must climb past ~33 here and mip_fine16's
+    # must fall toward it).
+    "nerf64": dict(encoder="ipe",
+                   overrides=dict(dilation_multiplier=0.0,
+                                  dilation_bias=0.0,
+                                  num_prop_samples=(64, 64),
+                                  num_nerf_samples=64)),
+    # multisample-blur control: one sample per interval (mip-like point
+    # evaluation; removes the along-interval feature averaging without
+    # touching the interval count)
+    "n1": dict(encoder="ipe", overrides=dict(sample_n=1)),
+    "nerf64_n1": dict(encoder="ipe",
+                      overrides=dict(dilation_multiplier=0.0,
+                                     dilation_bias=0.0,
+                                     num_prop_samples=(64, 64),
+                                     num_nerf_samples=64, sample_n=1)),
+    # batch 7: the composite oracle. Batches 1-6 refuted every SINGLE
+    # knob (incl. interval width: mip_fine16 still fits 41.6 train; zip
+    # nerf64 stays at 30.9) — but no arm ever combined ALL the
+    # mip-equivalences at once. If the gap is a sum of ~0.5 dB factors,
+    # singles can't see it. mipeq = zip configured to be maximally
+    # mip-like: unit-ball world (contraction identity), deg-16 IPE,
+    # 512 trunk, mip's sample ladder with dilation off and point
+    # evaluation (n=1), linear raydist (mip lindisp=False), MSE, no distortion loss, depth
+    # supervision at mip's strength, mip's lr schedule. If mipeq ~= mip,
+    # bisect back with the minus-arms; if it stays at ~28, the deficit
+    # is in code paths no config reaches (IPE impl, density activation,
+    # optimizer) and the hunt moves to activations-level diffing.
+    "mipeq": dict(encoder="ipe", depth_mult=0.1,
+                  overrides=dict(scene_scale=0.2725, ipe_max_deg=16,
+                                 ipe_density_width=512,
+                                 num_prop_samples=(64, 64),
+                                 num_nerf_samples=64,
+                                 dilation_multiplier=0.0,
+                                 dilation_bias=0.0, sample_n=1,
+                                 raydist_fn=None, anneal_slope=0.0),
+                  tcfg_overrides=dict(distortion_loss_mult=0.0,
+                                      charb_padding=1e-6)),
+    # bisection minus-arms (run only after mipeq's verdict)
+    "mipeq_nodepth": dict(encoder="ipe",
+                          overrides=dict(scene_scale=0.2725,
+                                         ipe_max_deg=16,
+                                         ipe_density_width=512,
+                                         num_prop_samples=(64, 64),
+                                         num_nerf_samples=64,
+                                         dilation_multiplier=0.0,
+                                         dilation_bias=0.0, sample_n=1,
+                                         raydist_fn=None,
+                                         anneal_slope=0.0),
+                          tcfg_overrides=dict(distortion_loss_mult=0.0,
+                                              charb_padding=1e-6)),
+    "mipeq_zipsamp": dict(encoder="ipe", depth_mult=0.1,
+                          overrides=dict(scene_scale=0.2725,
+                                         ipe_max_deg=16,
+                                         ipe_density_width=512,
+                                         raydist_fn=None,
+                                         anneal_slope=0.0),
+                          tcfg_overrides=dict(distortion_loss_mult=0.0,
+                                              charb_padding=1e-6)),
+    "mipeq_ziploss": dict(encoder="ipe", depth_mult=0.1,
+                          overrides=dict(scene_scale=0.2725,
+                                         ipe_max_deg=16,
+                                         ipe_density_width=512,
+                                         num_prop_samples=(64, 64),
+                                         num_nerf_samples=64,
+                                         dilation_multiplier=0.0,
+                                         dilation_bias=0.0, sample_n=1,
+                                         raydist_fn=None,
+                                         anneal_slope=0.0)),
 }
 
 
