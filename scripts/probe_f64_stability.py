@@ -1,0 +1,173 @@
+"""Instrumented reproduction of the CP F>=64 lr_delay=0 divergence
+(VERDICT r3 next #4: understand and remove the 10% warmup crutch).
+
+Known facts (PERF.md rounds 3-4): cp_ipe/cp_hash with cp_level_dim=64
+(256 total CP dims) lands at 9.24 dB (constant output) when trained at
+full lr from step 0 on the 24-view synthetic protocol — at every lr
+(2e-3/3e-3/8e-3), init scale (0.05/0.1), feature norm (center/
+layernorm), and matmul precision (DEFAULT/HIGHEST) tried — while the
+SAME config trains on the CPU backend, and a 10% lr warmup
+(the reference's own shipped schedule, lr_delay_mult 1e-3) cures it.
+F=16 trains everywhere. "Early-training density collapse" was the
+round-3 hypothesis; this probe measures it instead of assuming it.
+
+Per --log_every steps it records:
+  loss / train psnr            (step metrics)
+  gnorm_grid / gnorm_net       (pre-clip grad norms, debug_grad_norms)
+  per-level factor-table stats (max |v|, rms(v - 1); host-side)
+  probe-ray forward stats      (per-level mean/max density, final acc)
+
+Arms:
+  base64   F=64, lr_delay 0            (expected: diverges on TPU)
+  base16   F=16, lr_delay 0            (control: trains)
+  warm64   F=64, 10% warmup            (control: trains)
+plus candidate-fix arms added as config knobs grow (bounded factors,
+per-level lr, encoder-only clip).
+
+Usage: python scripts/probe_f64_stability.py --arm base64 \
+    [--steps 800] [--log_every 20] [--out /tmp/f64_base.jsonl]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 1024
+COMMON = dict(num_prop_samples=(16, 16), num_nerf_samples=8, sample_n=3,
+              raydist_fn="power_transformation")
+
+ARMS = {
+    "base64": dict(level_dim=64, lr_delay_frac=0.0),
+    "base16": dict(level_dim=16, lr_delay_frac=0.0),
+    "warm64": dict(level_dim=64, lr_delay_frac=0.1),
+    # candidate fixes (all lr_delay 0)
+    "bound64": dict(level_dim=64, lr_delay_frac=0.0,
+                    mcfg=dict(cp_factor_bound=0.5)),
+    "plvl64": dict(level_dim=64, lr_delay_frac=0.0,
+                   tcfg=dict(encoder_level_lr_gamma=0.5)),
+    "clip64": dict(level_dim=64, lr_delay_frac=0.0,
+                   tcfg=dict(encoder_grad_max_norm=0.0005)),
+    "b2_64": dict(level_dim=64, lr_delay_frac=0.0,
+                  tcfg=dict(adam_beta2=0.999, adam_eps=1e-8)),
+}
+
+
+def factor_stats(params):
+  """Host-side stats of the nerf MLP's CP factor tables."""
+  out = {}
+  try:
+    cp = params["nerf_mlp"]["cp_grid"]
+  except (KeyError, TypeError):
+    for k in params:
+      if "cp_grid" in str(k):
+        cp = params[k]
+        break
+    else:
+      return out
+  for name, v in cp.items():
+    v = np.asarray(v)
+    out[f"{name}_absmax"] = float(np.max(np.abs(v)))
+    out[f"{name}_rms1"] = float(np.sqrt(np.mean((v - 1.0) ** 2)))
+  return out
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--arm", default="base64", choices=sorted(ARMS))
+  ap.add_argument("--steps", type=int, default=800)
+  ap.add_argument("--log_every", type=int, default=20)
+  ap.add_argument("--seed", type=int, default=0)
+  ap.add_argument("--out", type=str, default="")
+  args = ap.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+  from snerf_tpu.data import make_synthetic_scene
+  from snerf_tpu.data.raygen import rays_for_image
+  from snerf_tpu.data.sampler import scene_to_device
+  from snerf_tpu.models.zipnerf import ZipNerfConfig
+  from snerf_tpu.train.zip_trainer import (
+      ZipTrainConfig, create_zip_train_state, make_zip_train_step)
+
+  spec = ARMS[args.arm]
+  scene = make_synthetic_scene(num_images=24, H=192, W=256, datahold=8)
+  dev = scene_to_device(scene)
+
+  mkw = dict(encoder_type="cp_ipe", ipe_max_deg=12, cp_num_levels=4,
+             cp_level_dim=spec["level_dim"], cp_base_resolution=128,
+             cp_max_resolution=1024, **COMMON)
+  mkw.update(spec.get("mcfg", {}))
+  mcfg = ZipNerfConfig(**mkw)
+  f = spec["lr_delay_frac"]
+  tkw = dict(batch_size=BATCH, max_steps=args.steps, lr_init=2e-3,
+             lr_final=2e-4, lr_delay_steps=int(f * args.steps),
+             lr_delay_mult=1e-3 if f > 0 else 1.0,
+             encoder_lr_mult=4.0, debug_grad_norms=True)
+  tkw.update(spec.get("tcfg", {}))
+  tcfg = ZipTrainConfig(**tkw)
+
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    model, state = create_zip_train_state(
+        jax.random.PRNGKey(args.seed), mcfg, tcfg)
+  state = jax.device_put(state, jax.devices()[0])
+  step = make_zip_train_step(model, mcfg, tcfg, dev, scene.i_train,
+                             scene.near, scene.far, donate=True)
+
+  # fixed probe rays: 512 rays from the first held-out view
+  ti = int(np.asarray(scene.i_test)[0])
+  rays = rays_for_image(jnp.asarray(scene.poses[ti]),
+                        jnp.asarray(scene.intrinsics[ti]),
+                        scene.hw[0], scene.hw[1], scene.near, scene.far)
+  flat = jax.tree_util.tree_map(
+      lambda x: x.reshape(-1, x.shape[-1]), rays)
+  idx = np.linspace(0, flat.origins.shape[0] - 1, 512).astype(int)
+  probe_rays = jax.tree_util.tree_map(lambda x: x[idx], flat)
+
+  @jax.jit
+  def diag(params, rays):
+    rend, hist = model.apply({"params": params}, rays, rng=None)
+    out = {}
+    for li, h in enumerate(hist):
+      out[f"dens_mean_{li}"] = jnp.mean(h["density"])
+      out[f"dens_max_{li}"] = jnp.max(h["density"])
+    out["acc_mean"] = jnp.mean(rend[-1]["acc"])
+    out["rgb_std"] = jnp.std(rend[-1]["rgb"])
+    return out
+
+  recs = []
+  key = jax.random.PRNGKey(args.seed + 1)
+  t0 = time.perf_counter()
+  for i in range(1, args.steps + 1):
+    key, k = jax.random.split(key)
+    state, m = step(state, k)
+    if i % args.log_every == 0 or i == 1:
+      rec = {"step": i,
+             "loss": float(m["loss"]),
+             "psnr": float(m.get("psnr", 0.0)),
+             "gnorm_grid": float(m.get("gnorm_grid", -1.0)),
+             "gnorm_net": float(m.get("gnorm_net", -1.0))}
+      d = diag(state.params, probe_rays)
+      rec.update({k2: round(float(v), 6) for k2, v in d.items()})
+      rec.update({k2: round(v, 5)
+                  for k2, v in factor_stats(
+                      jax.device_get(state.params)).items()})
+      line = json.dumps(rec)
+      print(line, flush=True)
+      recs.append(line)
+  print(f"# arm={args.arm} wall={time.perf_counter() - t0:.1f}s",
+        flush=True)
+  if args.out:
+    with open(args.out, "w") as fo:
+      fo.write("\n".join(recs) + "\n")
+
+
+if __name__ == "__main__":
+  main()

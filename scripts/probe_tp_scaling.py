@@ -32,21 +32,21 @@ import numpy as np
 
 
 def collective_counts(compiled):
-  """Instruction-definition counts per collective op in optimized HLO."""
+  """Instruction-definition counts per collective op in optimized HLO.
+
+  Matches the op name at its call site `all-reduce(` (tuple-typed
+  definitions wrap across lines, so line-oriented parsing misses
+  them); operand USES are excluded because they carry a `%` prefix
+  (`get-tuple-element(%all-reduce.36)`).
+  """
+  import re
   txt = compiled.as_text()
   out = {}
   for op in ("all-reduce", "all-gather", "reduce-scatter",
              "collective-permute", "all-to-all"):
-    n = 0
-    for line in txt.splitlines():
-      if "=" not in line:
-        continue
-      rhs = line.split("=", 1)[1].lstrip()
-      # strip the result-shape prefix, e.g. "f32[8,16]{1,0} all-reduce("
-      head = rhs.split("(")[0].split()[-1] if "(" in rhs else ""
-      if head == op or head == op + "-start":
-        n += 1
-    out[op] = n
+    pat = re.compile(r"(?<![%\w-])" + re.escape(op)
+                     + r"(?:-start)?\(")
+    out[op] = len(pat.findall(txt))
   return out
 
 
@@ -74,14 +74,16 @@ def run(shape, batch, steps=6, hidden=1024):
   with mesh:
     # AOT-compile ONCE; reuse the executable for both the collective
     # census and the timing loop (a second trace via step() would
-    # double the dominant CPU-compile cost).
-    compiled = step.lower(state, jax.random.PRNGKey(0)).compile()
+    # double the dominant CPU-compile cost). make_train_step returns
+    # functools.partial(jit(train_step), bound) — unwrap it.
+    jitted, bound = step.func, step.args
+    compiled = jitted.lower(*bound, state, jax.random.PRNGKey(0)).compile()
     cc = collective_counts(compiled)
-    state, m = compiled(state, jax.random.PRNGKey(0))   # warm caches
+    state, m = compiled(*bound, state, jax.random.PRNGKey(0))
     float(m["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
-      state, m = compiled(state, jax.random.PRNGKey(i + 1))
+      state, m = compiled(*bound, state, jax.random.PRNGKey(i + 1))
     float(m["loss"])
     dt = (time.perf_counter() - t0) / steps
   return dt, cc, float(m["loss"])

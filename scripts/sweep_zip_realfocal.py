@@ -25,6 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import bench_quality as bq
 
+# The batch-7 composite: every mip-equivalence at once. Model side:
+# unit-ball world (contraction identity), deg-16 IPE, 512x8 trunk
+# (mip: hidden 512, net_depth 8 vs zip ipe_density_depth 4), deg_view 4
+# (mip default; the reference's waymo.gin pins zip to deg_view 1),
+# mip's sample ladder with dilation off and point evaluation (n=1),
+# linear raydist (mip lindisp=False), anneal off. Loss side: MSE
+# (charb_padding -> 0), no distortion loss; depth supervision at mip's
+# strength rides the arm spec (depth_mult=0.1).
+_MIPEQ_MODEL = dict(scene_scale=0.2725, ipe_max_deg=16,
+                    ipe_density_width=512, ipe_density_depth=8,
+                    deg_view=4, num_prop_samples=(64, 64),
+                    num_nerf_samples=64, dilation_multiplier=0.0,
+                    dilation_bias=0.0, sample_n=1, raydist_fn=None,
+                    anneal_slope=0.0)
+_MIPEQ_LOSS = dict(distortion_loss_mult=0.0, charb_padding=1e-6)
+
 # arm -> (encoder, model-config overrides, trainer overrides, extras)
 ARMS = {
     # the shipped bench arm, as-is (baseline for the sweep)
@@ -178,46 +194,61 @@ ARMS = {
     # is in code paths no config reaches (IPE impl, density activation,
     # optimizer) and the hunt moves to activations-level diffing.
     "mipeq": dict(encoder="ipe", depth_mult=0.1,
-                  overrides=dict(scene_scale=0.2725, ipe_max_deg=16,
-                                 ipe_density_width=512,
-                                 num_prop_samples=(64, 64),
-                                 num_nerf_samples=64,
-                                 dilation_multiplier=0.0,
-                                 dilation_bias=0.0, sample_n=1,
-                                 raydist_fn=None, anneal_slope=0.0),
-                  tcfg_overrides=dict(distortion_loss_mult=0.0,
-                                      charb_padding=1e-6)),
+                  overrides=dict(_MIPEQ_MODEL),
+                  tcfg_overrides=dict(_MIPEQ_LOSS)),
     # bisection minus-arms (run only after mipeq's verdict)
     "mipeq_nodepth": dict(encoder="ipe",
-                          overrides=dict(scene_scale=0.2725,
-                                         ipe_max_deg=16,
-                                         ipe_density_width=512,
-                                         num_prop_samples=(64, 64),
-                                         num_nerf_samples=64,
-                                         dilation_multiplier=0.0,
-                                         dilation_bias=0.0, sample_n=1,
-                                         raydist_fn=None,
-                                         anneal_slope=0.0),
-                          tcfg_overrides=dict(distortion_loss_mult=0.0,
-                                              charb_padding=1e-6)),
+                          overrides=dict(_MIPEQ_MODEL),
+                          tcfg_overrides=dict(_MIPEQ_LOSS)),
     "mipeq_zipsamp": dict(encoder="ipe", depth_mult=0.1,
-                          overrides=dict(scene_scale=0.2725,
-                                         ipe_max_deg=16,
-                                         ipe_density_width=512,
-                                         raydist_fn=None,
-                                         anneal_slope=0.0),
-                          tcfg_overrides=dict(distortion_loss_mult=0.0,
-                                              charb_padding=1e-6)),
+                          overrides={k: v for k, v in
+                                     _MIPEQ_MODEL.items()
+                                     if k in ("scene_scale",
+                                              "ipe_max_deg",
+                                              "ipe_density_width",
+                                              "ipe_density_depth",
+                                              "deg_view", "raydist_fn",
+                                              "anneal_slope")},
+                          tcfg_overrides=dict(_MIPEQ_LOSS)),
     "mipeq_ziploss": dict(encoder="ipe", depth_mult=0.1,
-                          overrides=dict(scene_scale=0.2725,
-                                         ipe_max_deg=16,
-                                         ipe_density_width=512,
-                                         num_prop_samples=(64, 64),
-                                         num_nerf_samples=64,
-                                         dilation_multiplier=0.0,
-                                         dilation_bias=0.0, sample_n=1,
-                                         raydist_fn=None,
-                                         anneal_slope=0.0)),
+                          overrides=dict(_MIPEQ_MODEL)),
+    # round-2 structural knobs that no batch ever touched (found by a
+    # code diff of the two model configs): the reference waymo.gin
+    # pins deg_view=1 on zip while mip ships deg_view=4, and mip's
+    # trunk is 8 layers deep vs zip's ipe_density_depth=4.
+    "degview4": dict(encoder="ipe", overrides=dict(deg_view=4)),
+    "depth8": dict(encoder="ipe", overrides=dict(ipe_density_depth=8)),
+    # batch 8: below-config bisects after mipeq itself scored 27.36 /
+    # 31.25 — the composite of every config equivalence stays in the
+    # 27-28 band, so the deficit is in (a) the proposal/resampling
+    # chain, (b) the core forward path, or (c) the optimizer — the
+    # three places the composite could not reach.
+    # (a) prop chain removed: num_levels=1 makes the model one
+    # stratified-uniform pass (sdist init [0,1], uniform weights), like
+    # mip's coarse level with 128 samples. If train psnr jumps to ~41,
+    # the prop/resample chain is the deficit; if it stays ~31, the core
+    # forward path is.
+    "noprop": dict(encoder="ipe",
+                   overrides=dict(num_levels=1, num_nerf_samples=128),
+                   tcfg_overrides=dict(anti_interlevel_loss_mult=0.0)),
+    "mipeq_noprop": dict(
+        encoder="ipe", depth_mult=0.1,
+        overrides={**{k: v for k, v in _MIPEQ_MODEL.items()
+                      if k not in ("num_prop_samples",
+                                   "dilation_multiplier",
+                                   "dilation_bias", "anneal_slope")},
+                   "num_levels": 1, "num_nerf_samples": 128},
+        tcfg_overrides={**_MIPEQ_LOSS,
+                        "anti_interlevel_loss_mult": 0.0}),
+    # (c) mip's optimizer: optax.adam defaults (b2 0.999, eps 1e-8) and
+    # NO global grad clip, vs zip's reference-parity b2 0.99, eps 1e-15,
+    # grad_max_norm 1e-3.
+    "mipeq_mipopt": dict(encoder="ipe", depth_mult=0.1,
+                         overrides=dict(_MIPEQ_MODEL),
+                         tcfg_overrides={**_MIPEQ_LOSS,
+                                         "adam_beta2": 0.999,
+                                         "adam_eps": 1e-8,
+                                         "grad_max_norm": 0.0}),
 }
 
 

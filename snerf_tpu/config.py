@@ -149,6 +149,9 @@ class Config:
   zip_cp_collapse: bool = True      # moment-matched multisample collapse
   zip_cp_pair_dim: int = 0          # rank-F2 pair products (tri-plane)
   zip_cp_init_smooth: float = 0.0   # low-pass sigma for factor init
+  # > 0: bounded factor tables v = 1 + b tanh(v_raw/b) — structural cap
+  # on CP product runaway (F>=64 stability; models/cpgrid.py)
+  zip_cp_factor_bound: float = 0.0
   # 'cp_hash': fine hash level(s) on the nerf MLP, per-interval or
   # per-multisample query (models/zipnerf.py cp_hash_* docs)
   zip_cp_hash_resolution: int = 2048
@@ -165,6 +168,10 @@ class Config:
   zip_cp_tri_level_dim: int = 4
   # grid/table params (hash or cp) train at this multiple of the base lr
   zip_encoder_lr_mult: float = 1.0
+  # per-level encoder lr decay gamma^l (0 = off) and encoder-only grad
+  # norm clip (0 = off): F>=64 stability knobs (train/zip_trainer.py)
+  zip_encoder_level_lr_gamma: float = 0.0
+  zip_encoder_grad_max_norm: float = 0.0
   # EMA of params for eval/render (0 = off); eval.py and the periodic
   # held-out renders read the EMA copy when maintained
   zip_ema_decay: float = 0.0
@@ -279,6 +286,7 @@ class Config:
         cp_collapse_multisamples=self.zip_cp_collapse,
         cp_pair_dim=self.zip_cp_pair_dim,
         cp_init_smooth=self.zip_cp_init_smooth,
+        cp_factor_bound=self.zip_cp_factor_bound,
         cp_hash_resolution=self.zip_cp_hash_resolution,
         cp_hash_log2=self.zip_cp_hash_log2,
         cp_hash_num_levels=self.zip_cp_hash_num_levels,
@@ -329,6 +337,8 @@ class Config:
         semantic_smoothness_loss_mult=(
             self.zip_semantic_smoothness_loss_mult),
         encoder_lr_mult=enc_mult,
+        encoder_level_lr_gamma=self.zip_encoder_level_lr_gamma,
+        encoder_grad_max_norm=self.zip_encoder_grad_max_norm,
         ema_decay=self.zip_ema_decay,
         randomized=self.randomized)
 

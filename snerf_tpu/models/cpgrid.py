@@ -90,6 +90,13 @@ class CPEncoding(nn.Module):
   # capacity for axis-extruded structure the pure triple product
   # represents inefficiently.
   pair_dim: int = 0
+  # factor_bound > 0 reparameterizes the tables as
+  #   v = 1 + b * tanh(v_raw / b),   v_raw ~ init_scale * N(0, 1)
+  # (identity near init, saturating at 1 +- b): every per-axis term
+  # w @ v stays in [1-b, 1+b] so the 3-way product is bounded by
+  # (1+b)^3 — a structural cap on the multiplicative-runaway failure
+  # mode of raw CP products (F>=64 stability investigation, PERF.md).
+  factor_bound: float = 0.0
   compute_dtype: Any = jnp.float32
 
   def setup(self):
@@ -101,6 +108,9 @@ class CPEncoding(nn.Module):
     # from 1). A zero-mean init would make prod of 3 factors ~ s^3 with
     # vanishing gradients into each factor.
     def init_fn(key, shape, dtype=jnp.float32):
+      # bounded parameterization stores the ZERO-MEAN raw table (the
+      # `1 +` lives in _bounded below); raw init = init_scale * noise.
+      bounded = self.factor_bound > 0
       noise = jax.random.normal(key, shape, dtype)
       if self.init_smooth > 0:
         # depthwise 1-D Gaussian blur along the resolution axis
@@ -114,6 +124,8 @@ class CPEncoding(nn.Module):
                 lambda col: jnp.convolve(col, k, mode="same"),
                 in_axes=1, out_axes=1)(n))(noise)
         noise = sm / (jnp.std(sm) + 1e-12)
+      if bounded:
+        return self.init_scale * noise
       return 1.0 + self.init_scale * noise
     self.factors = [
         self.param(f"v{l}", init_fn, (3, r, self.level_dim), jnp.float32)
@@ -123,6 +135,13 @@ class CPEncoding(nn.Module):
           self.param(f"p{l}", init_fn, (3, r, self.pair_dim),
                      jnp.float32)
           for l, r in enumerate(self.resolutions)]
+
+  def _bounded(self, v):
+    """Map a raw table to the bounded factor table (identity if off)."""
+    b = self.factor_bound
+    if b <= 0:
+      return v
+    return 1.0 + b * jnp.tanh(v / b)
 
   def _level_encode(self, v, p, u, var, r: int, n: int):
     """One level's integrated-CP features; rematerialized in backward
@@ -151,9 +170,9 @@ class CPEncoding(nn.Module):
         # default matmul precision: Precision.HIGHEST was measured to
         # cost 17% step time without changing the F=64 stall (PERF.md
         # round-3 divergence investigation)
-        f = f * (wd @ v[a].astype(dt))              # [..., F]
+        f = f * (wd @ self._bounded(v[a]).astype(dt))   # [..., F]
         if p is not None:
-          pf.append(wd @ p[a].astype(dt))           # [..., F2]
+          pf.append(wd @ self._bounded(p[a]).astype(dt))  # [..., F2]
       if p is not None:
         f = jnp.concatenate(
             [f, pf[0] * pf[1], pf[1] * pf[2], pf[0] * pf[2]], axis=-1)

@@ -116,6 +116,10 @@ class ZipNerfConfig:
   cp_prop_level_dim: int = 8
   cp_init_scale: float = 0.1
   cp_init_smooth: float = 0.0  # low-pass sigma for factor init noise
+  # > 0: bounded factor tables v = 1 + b tanh(v_raw / b) — caps every
+  # per-axis term in [1-b, 1+b] so 3-way products cannot run away
+  # (candidate fix for the F>=64 lr_delay=0 divergence; see cpgrid.py)
+  cp_factor_bound: float = 0.0
   cp_pair_dim: int = 0     # rank-F2 pair products (decomposed tri-plane)
   # Encoder-output normalization. The round-3 sweep found a hard
   # divergence boundary at >=256 total encoder dims (F=64 or F=16+pair16
@@ -199,6 +203,7 @@ class ZipMLP(nn.Module):
             bump_width=c.cp_bump_width, init_scale=c.cp_init_scale,
             init_smooth=c.cp_init_smooth,
             pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
+            factor_bound=c.cp_factor_bound,
             compute_dtype=dt, name="cp_grid")
         if c.encoder_type == "cp_hash" and not self.disable_rgb:
           base = (c.cp_hash_base_resolution if c.cp_hash_num_levels > 1

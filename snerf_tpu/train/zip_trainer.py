@@ -84,11 +84,25 @@ class ZipTrainConfig:
   # tolerate (and want) hash-class lrs ~4x above what MLP trunks survive
   # (PERF.md round-2 A/B: ipe diverges at 8e-3, hash thrives there).
   encoder_lr_mult: float = 1.0
+  # Per-level lr decay inside the CP/hash tables: level l trains at
+  # encoder_lr_mult * gamma^l (fine levels see fewer samples per cell,
+  # i.e. noisier per-row gradients — a candidate mechanism for the
+  # F>=64 lr_delay=0 divergence). 0 disables (single 'grid' group).
+  encoder_level_lr_gamma: float = 0.0
+  # Separate norm clip on the encoder-table grads only, applied before
+  # the global clip (isolates the table group's clipping from the
+  # trunk's — with one global budget a hot table grad silently scales
+  # down the trunk grads too). 0 disables.
+  encoder_grad_max_norm: float = 0.0
   # Exponential moving average of params for eval (0 = off). Maintained
   # on-device inside the jitted step (one fused axpy over the param
   # pytree — negligible vs the fwd/bwd); renders/eval should read
   # eval_params(state). Step-warmed: d_t = min(d, (1+t)/(10+t)).
   ema_decay: float = 0.0
+  # Stability diagnostics: add pre-clip grad norms (split grid/net with
+  # the same label walk as the optimizer) to the step metrics. Two tree
+  # reductions fused into the step — for probe scripts, off in prod.
+  debug_grad_norms: bool = False
 
 
 class ZipTrainState(flax.struct.PyTreeNode):
@@ -168,19 +182,32 @@ def _make_tx(cfg: ZipTrainConfig):
   adam = lambda mult: optax.adam(
       learning_rate=lambda step: mult * base(step),
       b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps)
-  if cfg.encoder_lr_mult == 1.0:
+  gamma = cfg.encoder_level_lr_gamma
+  if cfg.encoder_lr_mult == 1.0 and gamma <= 0:
     return adam(1.0)
+
+  import re
+  lvl_re = re.compile(r"^[vp](\d+)$")
 
   def label_fn(params):
     def walk(tree, in_grid):
       if isinstance(tree, dict):
-        return {k: walk(v, in_grid or k in ("grid", "cp_grid"))
-                for k, v in tree.items()}
+        out = {}
+        for k, v in tree.items():
+          m = lvl_re.match(str(k)) if (in_grid and gamma > 0) else None
+          if m is not None and not isinstance(v, dict):
+            out[k] = f"grid{min(int(m.group(1)), 7)}"
+          else:
+            out[k] = walk(v, in_grid or k in ("grid", "cp_grid"))
+        return out
       return "grid" if in_grid else "net"
     return walk(params, False)
 
-  return optax.multi_transform(
-      {"grid": adam(cfg.encoder_lr_mult), "net": adam(1.0)}, label_fn)
+  txs = {"grid": adam(cfg.encoder_lr_mult), "net": adam(1.0)}
+  if gamma > 0:
+    for l in range(8):
+      txs[f"grid{l}"] = adam(cfg.encoder_lr_mult * gamma ** l)
+  return optax.multi_transform(txs, label_fn)
 
 
 def create_zip_train_state(key, model_cfg: ZipNerfConfig,
@@ -444,6 +471,37 @@ def make_zip_train_step(model: ZipNerfModel,
       (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
           state.params, state.pose_params, key, train_frac, depth_on)
       pose_grads = None
+    if cfg.debug_grad_norms:
+      def group_sq(tree, in_grid):
+        tot = {"grid": 0.0, "net": 0.0}
+        for k, v in tree.items():
+          if isinstance(v, dict):
+            sub = group_sq(v, in_grid or k in ("grid", "cp_grid"))
+            tot = {g: tot[g] + sub[g] for g in tot}
+          else:
+            g = "grid" if (in_grid or k in ("grid", "cp_grid")) else "net"
+            tot[g] = tot[g] + jnp.sum(jnp.square(v))
+        return tot
+      sq = group_sq(grads, False)
+      metrics["gnorm_grid"] = jnp.sqrt(sq["grid"])
+      metrics["gnorm_net"] = jnp.sqrt(sq["net"])
+    if cfg.encoder_grad_max_norm > 0:
+      def walk_scale(tree, in_grid, s):
+        return {k: (walk_scale(v, in_grid or k in ("grid", "cp_grid"), s)
+                    if isinstance(v, dict)
+                    else (v * s if (in_grid or k in ("grid", "cp_grid"))
+                          else v))
+                for k, v in tree.items()}
+      def walk_sq(tree, in_grid):
+        tot = 0.0
+        for k, v in tree.items():
+          ig = in_grid or k in ("grid", "cp_grid")
+          tot = tot + (walk_sq(v, ig) if isinstance(v, dict)
+                       else (jnp.sum(jnp.square(v)) if ig else 0.0))
+        return tot
+      gn = jnp.sqrt(walk_sq(grads, False))
+      s = jnp.minimum(1.0, cfg.encoder_grad_max_norm / (gn + 1e-12))
+      grads = walk_scale(grads, False, s)
     grads = smath.clip_gradients(
         grads,
         max_val=cfg.grad_max_val if cfg.grad_max_val > 0 else None,
