@@ -53,26 +53,39 @@ def load_images():
   return train, held
 
 
+MASK_KINDS = ("band", "rect", "stroke")
+
+
 def eval_arm(inpaint_fn, held, seed=123):
-  """Mean hole PSNR over held-out views x pipeline-shaped masks.
+  """Hole PSNR over held-out views x pipeline-shaped masks, split by
+  mask family (band = compose paste boundaries, rect = relight-style
+  rectangles, stroke = thin artifacts). Returns (overall, per_kind).
 
   Images are fed in the sim pipeline's native [0, 1] convention
   (sim/compose.py works in unit floats; default_inpaint_fn clips to
   [0, 1] before the Telea call)."""
   from snerf_tpu.preprocess.nets.aotgan import _random_band_mask
   rng = np.random.RandomState(seed)
-  errs = []
+  errs = {k: [] for k in MASK_KINDS}
   for im in held:
     H, W = im.shape[:2]
     gt = im.astype(np.float32) / 255.0
     for _ in range(4):
+      # peek the kind the mask generator is about to draw (same rng
+      # stream: save/restore state around the kind draw)
+      state = rng.get_state()
+      kind = rng.randint(3)
+      rng.set_state(state)
       mask = _random_band_mask(rng, H, W) > 0
       if not mask.any():
         continue
       out = np.asarray(inpaint_fn(gt, mask), np.float32)
       mse = np.mean((out[mask] - gt[mask]) ** 2)
-      errs.append(-10 * np.log10(mse + 1e-12))
-  return float(np.mean(errs))
+      errs[MASK_KINDS[kind]].append(-10 * np.log10(mse + 1e-12))
+  per_kind = {k: float(np.mean(v)) if v else float("nan")
+              for k, v in errs.items()}
+  allv = [e for v in errs.values() for e in v]
+  return float(np.mean(allv)), per_kind
 
 
 def main():
@@ -113,12 +126,17 @@ def main():
       print(f"saved {args.save}")
 
   learned_fn = aotgan.make_inpaint_fn(params=params)
-  p_learned = eval_arm(learned_fn, held)
-  p_telea = eval_arm(default_inpaint_fn, held)
-  print(f"\n| arm | held-out hole PSNR (dB) |")
-  print(f"|---|---|")
-  print(f"| Telea (classical default) | {p_telea:.2f} |")
-  print(f"| AOT-GAN (in-repo trained) | {p_learned:.2f} |")
+  p_learned, k_learned = eval_arm(learned_fn, held)
+  p_telea, k_telea = eval_arm(default_inpaint_fn, held)
+  print(f"\n| arm | overall | " + " | ".join(MASK_KINDS) + " |")
+  print("|---|---|" + "---|" * len(MASK_KINDS))
+  print(f"| Telea (classical default) | {p_telea:.2f} | "
+        + " | ".join(f"{k_telea[k]:.2f}" for k in MASK_KINDS) + " |")
+  print(f"| AOT-GAN (in-repo trained) | {p_learned:.2f} | "
+        + " | ".join(f"{k_learned[k]:.2f}" for k in MASK_KINDS) + " |")
+  print("\nPipeline default: sim/pipeline.py inpaint_arm='auto' routes "
+        "the compose BAND call site to the learned arm (the relight "
+        "pass never reaches a plain inpaint_fn).")
 
 
 if __name__ == "__main__":

@@ -249,6 +249,41 @@ ARMS = {
                                          "adam_beta2": 0.999,
                                          "adam_eps": 1e-8,
                                          "grad_max_norm": 0.0}),
+    # batch 9: TOPOLOGY bisects. The mipeq composite (27.36/31.25 at
+    # 2k) equalized every config knob, but a code diff of the two MLPs
+    # shows the zip trunk differs structurally from mip's NerfMLP in
+    # ways no config reached: (1) no skip-cat of the encoding back into
+    # the trunk (mip: after layer 4, models.py:268-272 — the classic
+    # NeRF topology fix for 8-deep relu stacks), (2) the 64-wide
+    # density_hidden choke between trunk and bottleneck (instant-NGP
+    # heritage: right when hash tables carry capacity, wrong when the
+    # trunk does), (3) IPE on scene_scale-shrunk coords loses
+    # log2(1/0.2725) ~ 1.9 effective degrees vs mip's raw-coord IPE.
+    "mipeq_skip4": dict(encoder="ipe", depth_mult=0.1,
+                        overrides={**_MIPEQ_MODEL, "ipe_skip_layer": 4},
+                        tcfg_overrides=dict(_MIPEQ_LOSS)),
+    "mipeq_dh512": dict(encoder="ipe", depth_mult=0.1,
+                        overrides={**_MIPEQ_MODEL,
+                                   "density_hidden_width": 512},
+                        tcfg_overrides=dict(_MIPEQ_LOSS)),
+    "mipeq_deg18": dict(encoder="ipe", depth_mult=0.1,
+                        overrides={**_MIPEQ_MODEL, "ipe_max_deg": 18},
+                        tcfg_overrides=dict(_MIPEQ_LOSS)),
+    "mipeq_arch": dict(encoder="ipe", depth_mult=0.1,
+                       overrides={**_MIPEQ_MODEL, "ipe_skip_layer": 4,
+                                  "density_hidden_width": 512,
+                                  "ipe_max_deg": 18},
+                       tcfg_overrides=dict(_MIPEQ_LOSS)),
+    # the arch fixes on the SHIPPED zip config (power raydist, zip
+    # samples, anneal, charb, distortion) — does the topology fix move
+    # production zip, not just the mip-clone?
+    "arch_ship": dict(encoder="ipe",
+                      overrides=dict(ipe_skip_layer=4,
+                                     density_hidden_width=512,
+                                     ipe_density_width=512,
+                                     ipe_density_depth=8,
+                                     ipe_max_deg=16,
+                                     scene_scale=0.2725)),
 }
 
 

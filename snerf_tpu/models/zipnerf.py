@@ -93,6 +93,18 @@ class ZipNerfConfig:
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
   ipe_density_width: int = 256
+  # skip-cat of the encoder features back into the trunk after layer i
+  # (i > 0, i % skip == 0; mip's NerfMLP convention, models.py:268-272).
+  # The reference zip MLP has NO trunk skips — capacity lives in its
+  # hash tables. For MLP-capacity encoders (ipe/cp) an 8-deep plain
+  # relu stack underfits; 4 restores the classic NeRF topology. 0 = off
+  # (reference parity).
+  ipe_skip_layer: int = 0
+  # width of the post-encoder density layer (reference models.py:484:
+  # 64 — the instant-NGP choke where the tables carry capacity). For
+  # ipe/cp encoders the whole scene must pass through this layer; 256
+  # removes the bottleneck. 64 = reference parity.
+  density_hidden_width: int = 64
   # BARF-style coarse-to-fine windows (fraction of training over which
   # the window opens; 0 disables). ipe_anneal_frac windows IPE degrees,
   # cp_anneal_frac windows CP levels.
@@ -225,7 +237,8 @@ class ZipMLP(nn.Module):
           nn.Dense(c.ipe_density_width, dtype=dt, name=f"ipe_{i}")
           for i in range(c.ipe_density_depth)]
     out_width = 1 if self.disable_rgb else c.bottleneck_width
-    self.density_hidden = nn.Dense(64, dtype=dt, name="density_hidden")
+    self.density_hidden = nn.Dense(c.density_hidden_width, dtype=dt,
+                                   name="density_hidden")
     self.density_out = nn.Dense(out_width, dtype=dt, name="density_out")
     if c.enable_pred_normals:
       self.normals_head = nn.Dense(3, dtype=jnp.float32,
@@ -259,6 +272,16 @@ class ZipMLP(nn.Module):
       win = jnp.tile(jnp.repeat(win, 3), 2)
       enc = enc * win
     return enc.mean(axis=-2)  # mean over n multisamples
+
+  def _trunk(self, h):
+    """ipe_layers stack (+ optional skip-cat) + density_hidden."""
+    skip = self.cfg.ipe_skip_layer
+    inputs = h
+    for i, layer in enumerate(self.ipe_layers):
+      h = nn.relu(layer(h))
+      if skip > 0 and i > 0 and i % skip == 0:
+        h = jnp.concatenate([h, inputs], axis=-1)
+    return nn.relu(self.density_hidden(h))
 
   def predict_density(self, means, stds, rng=None, train_frac=1.0):
     """means [..., n, 3], stds [..., n] -> (raw_density [...], x [..., W]).
@@ -352,18 +375,13 @@ class ZipMLP(nn.Module):
         hfeat = hfeat.reshape(*hfeat.shape[:-2], -1)
         parts.append(hfeat.astype(feats.dtype))
       h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
-      for layer in self.ipe_layers:
-        h = nn.relu(layer(h))
-      h = nn.relu(self.density_hidden(h))
+      h = self._trunk(h)
     else:
       # Gather-free TPU backbone: IPE of the contracted isotropic
       # Gaussians (the expected-sin variance decay plays the role of the
       # erf multisample downweighting), averaged over the n multisamples,
       # then a small MXU-bound trunk.
-      h = self._ipe_enc(z, new_std, train_frac)
-      for layer in self.ipe_layers:
-        h = nn.relu(layer(h))
-      h = nn.relu(self.density_hidden(h))
+      h = self._trunk(self._ipe_enc(z, new_std, train_frac))
     x = self.density_out(h)
     raw_density = x[..., 0]
     if rng is not None and c.density_noise > 0:

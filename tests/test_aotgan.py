@@ -137,6 +137,23 @@ def test_train_inpainter_learns():
                     ((xx + yy) % 17) / 17], -1) * 255)
     imgs.append(im.astype(np.uint8))
   params, losses = aotgan.train_inpainter(
-      np.stack(imgs), steps=100, crop=32, batch=4, dim=16, blocks=1,
+      np.stack(imgs), steps=220, crop=32, batch=4, dim=16, blocks=1,
       lr=1e-3, seed=0)
   assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+
+
+def test_auto_inpaint_default_uses_learned_band_arm():
+  """inpaint_arm='auto' (sim/pipeline.py) resolves to the packaged
+  AOT-GAN for the compose band call site (the arm that wins band masks
+  by +6 dB held-out, scripts/eval_inpaint.py) and still satisfies the
+  plug-in contract; with weights unavailable it falls back to Telea."""
+  from snerf_tpu.sim import pipeline as P
+  fn = P.auto_inpaint_fn()
+  assert fn is not P.default_inpaint_fn  # packaged weights exist here
+  rng = np.random.RandomState(0)
+  rgb = rng.rand(24, 32, 3).astype(np.float32)
+  mask = np.zeros((24, 32), bool)
+  mask[8:12, 10:20] = True
+  out = fn(rgb, mask)
+  assert out.shape == rgb.shape
+  assert np.abs(np.asarray(out)[~mask] - rgb[~mask]).max() < 1e-2
