@@ -58,6 +58,20 @@ ARMS = {
                           cp_hash_use_spread=False)),
 }
 
+# Stability-knob variants (round-4: cns_ema DIVERGES on scene b seeds
+# 0/1 — 14.56 dB — and f64 seed 2 lands at 34.2; the bounded factor
+# tables / per-level lr knobs are the candidate cures). Same ladder
+# protocol; *_bound arms run WITHOUT the 10% warmup crutch.
+ARMS["cns_bound"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_factor_bound": 0.5})
+ARMS["f64_bound"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    mcfg={**ARMS["f64"]["mcfg"], "cp_factor_bound": 0.5})
+ARMS["f64_plvl"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    tcfg=dict(encoder_level_lr_gamma=0.5))
+
 
 def make_scene(which):
   from snerf_tpu.data import make_synthetic_scene
@@ -88,7 +102,8 @@ def run_arm(scene, dev, arm, seed):
       lr_final=spec["lr"] / 10,
       lr_delay_steps=int(spec["lr_delay_frac"] * steps),
       lr_delay_mult=1e-3 if spec["lr_delay_frac"] > 0 else 1.0,
-      encoder_lr_mult=spec["encoder_lr_mult"], ema_decay=spec["ema"])
+      encoder_lr_mult=spec["encoder_lr_mult"], ema_decay=spec["ema"],
+      **spec.get("tcfg", {}))
   cpu = jax.devices("cpu")[0]
   with jax.default_device(cpu):
     model, state = create_zip_train_state(jax.random.PRNGKey(seed),
