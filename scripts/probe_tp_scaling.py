@@ -1,15 +1,24 @@
 """Virtual-mesh TP scaling probe (VERDICT r3 next #10).
 
-Measures per-step wall time and compiled collective counts for the
-mip trainer under pure data parallelism (8x1) vs 2-D (data, model)
-tensor parallelism (4x2, 2x4) at EQUAL global batch on the 8-device
-virtual CPU mesh — the perf datapoint behind the TP claim that so far
-had only loss-equality evidence (tests/test_tensor_parallel.py).
+Compares the mip trainer under pure data parallelism (8x1) vs 2-D
+(data, model) tensor parallelism (4x2, 2x4) at EQUAL global batch on
+the 8-device virtual CPU mesh — the perf datapoint behind the TP claim
+that so far had only loss-equality evidence
+(tests/test_tensor_parallel.py).
 
-CPU absolute times do not transfer to TPU; what transfers is (a) the
-collective schedule XLA SPMD inserts for the sharding annotations
-(counted from the optimized HLO) and (b) the relative step-time curve
-shape. Run:
+What transfers from a virtual CPU mesh to real TPU hardware, and what
+doesn't: this host has ONE physical core, so 8 virtual devices
+timeshare it and wall-clock comparisons across mesh shapes measure
+total work + scheduling, not the parallel step time a real 8-chip mesh
+would see. The load-independent evidence reported instead:
+  (a) the collective schedule XLA SPMD inserts for the sharding
+      annotations (counted from optimized HLO),
+  (b) per-device FLOPs / bytes from compiled.cost_analysis() — TP at
+      equal global batch must cut per-device trunk FLOPs ~1/tp while
+      adding all-reduce traffic,
+  (c) loss equality across shapes (same step semantics).
+Pass --time to additionally record the (contention-sensitive) wall
+times. Run:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scripts/probe_tp_scaling.py
 """
@@ -50,7 +59,19 @@ def collective_counts(compiled):
   return out
 
 
-def run(shape, batch, steps=6, hidden=1024):
+def cost_stats(compiled):
+  """Per-device flops / bytes from XLA's cost model (list per program;
+  the SPMD partitioner emits one program, so take element 0)."""
+  try:
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return {"gflops": ca.get("flops", 0.0) / 1e9,
+            "gbytes": ca.get("bytes accessed", 0.0) / 1e9}
+  except Exception:
+    return {"gflops": float("nan"), "gbytes": float("nan")}
+
+
+def run(shape, batch, steps=6, hidden=1024, do_time=False):
   import jax.numpy as jnp
   from snerf_tpu.data import make_synthetic_scene
   from snerf_tpu.data.sampler import scene_to_device
@@ -58,6 +79,8 @@ def run(shape, batch, steps=6, hidden=1024):
   from snerf_tpu.parallel import make_mesh, make_mesh_2d
   from snerf_tpu.train.trainer import (
       TrainConfig, create_train_state, make_train_step)
+
+  from snerf_tpu.parallel import shard_state
 
   dp, tp = shape
   mesh = make_mesh(jax.devices()) if tp == 1 else make_mesh_2d(dp, tp)
@@ -69,6 +92,12 @@ def run(shape, batch, steps=6, hidden=1024):
                      n_iters=steps)
   model, pose_model, state = create_train_state(
       jax.random.PRNGKey(0), mcfg, tcfg, scene.num_images)
+  if tp > 1:
+    # THE tensor-parallel entry point (parallel/tp.py): place params
+    # (and Adam moments) with Megatron-style model-axis shardings; the
+    # jit then infers in_shardings from the arrays and XLA SPMD inserts
+    # the collectives. Without this the model axis is pure replication.
+    state = shard_state(state, mesh)
   step = make_train_step(model, pose_model, tcfg, dev, scene.i_train,
                          scene.near, scene.far, donate=False, mesh=mesh)
   with mesh:
@@ -79,29 +108,37 @@ def run(shape, batch, steps=6, hidden=1024):
     jitted, bound = step.func, step.args
     compiled = jitted.lower(*bound, state, jax.random.PRNGKey(0)).compile()
     cc = collective_counts(compiled)
+    cs = cost_stats(compiled)
     state, m = compiled(*bound, state, jax.random.PRNGKey(0))
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(steps):
-      state, m = compiled(*bound, state, jax.random.PRNGKey(i + 1))
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / steps
-  return dt, cc, float(m["loss"])
+    loss = float(m["loss"])          # also the loss-equality datapoint
+    dt = float("nan")
+    if do_time:
+      t0 = time.perf_counter()
+      for i in range(steps):
+        state, m = compiled(*bound, state, jax.random.PRNGKey(i + 1))
+      float(m["loss"])
+      dt = (time.perf_counter() - t0) / steps
+  return dt, cc, cs, loss
 
 
 def main():
+  do_time = "--time" in sys.argv
   batch = int(os.environ.get("TP_PROBE_BATCH", 1024))
   print(f"devices={jax.device_count()} global_batch={batch} "
         f"hidden=1024 (TP shards the wide trunk)")
   rows = []
   for shape in ((8, 1), (4, 2), (2, 4)):
-    dt, cc, loss = run(shape, batch)
-    rows.append((shape, dt, cc, loss))
-    print(f"| {shape[0]}x{shape[1]} | {dt * 1e3:.1f} ms/step | "
-          f"{cc} | loss {loss:.4f} |", flush=True)
-  base = rows[0][1]
-  for shape, dt, _, _ in rows[1:]:
-    print(f"{shape}: {dt / base:.2f}x DP step time")
+    dt, cc, cs, loss = run(shape, batch, do_time=do_time)
+    rows.append((shape, dt, cc, cs, loss))
+    t = f"{dt * 1e3:.1f} ms/step | " if do_time else ""
+    print(f"| {shape[0]}x{shape[1]} | {t}{cs['gflops']:.2f} GF/dev | "
+          f"{cs['gbytes']:.2f} GB/dev | {cc} | loss {loss:.4f} |",
+          flush=True)
+  base = rows[0]
+  for shape, dt, cc, cs, loss in rows[1:]:
+    print(f"{shape}: flops/dev {cs['gflops'] / base[3]['gflops']:.2f}x "
+          f"DP, bytes/dev {cs['gbytes'] / base[3]['gbytes']:.2f}x DP, "
+          f"loss match {abs(loss - base[4]) < 5e-3}")
 
 
 if __name__ == "__main__":
