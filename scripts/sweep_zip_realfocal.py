@@ -284,6 +284,22 @@ ARMS = {
                                      ipe_density_depth=8,
                                      ipe_max_deg=16,
                                      scene_scale=0.2725)),
+    # batch 10: the featurization transplant. mipeq_arch (topology
+    # equalized) still lands at 27.65/31.95, so configs, optimizer,
+    # prop chain AND trunk topology are all exonerated. 'mipcast'
+    # swaps in mip's exact featurization (per-interval cylindrical
+    # Gaussian cast + anisotropic diag IPE on raw world coords; no
+    # multisample, no contraction) inside the zip hierarchy/trainer.
+    # If it fits like mip (~41 train), the zip featurization chain is
+    # the deficit and we bisect WHICH stage; if it stays ~31, the
+    # trainer/data path is, and the sampler goes under the microscope.
+    "mipcast": dict(encoder="mipcast", depth_mult=0.1,
+                    overrides={**_MIPEQ_MODEL, "ipe_skip_layer": 4,
+                               "density_hidden_width": 512},
+                    tcfg_overrides=dict(_MIPEQ_LOSS)),
+    "mipcast_plain": dict(encoder="mipcast", depth_mult=0.1,
+                          overrides=dict(_MIPEQ_MODEL),
+                          tcfg_overrides=dict(_MIPEQ_LOSS)),
 }
 
 

@@ -77,7 +77,12 @@ class ZipNerfConfig:
   # gather-fast regime, unlike full hash's 0.37G);
   # 'cp_tri' = cp_ipe + three DENSE fine 2D planes (models/triplane.py)
   # instead of the fine hash level: zero hash collisions, 12 gathers per
-  # query (vs 8), same query modes (cp_hash_per_sample/use_spread/...).
+  # query (vs 8), same query modes (cp_hash_per_sample/use_spread/...);
+  # 'mipcast' = DIAGNOSTIC transplant (round-4 zip-vs-mip gap hunt):
+  # mip's exact per-interval conical/cylindrical Gaussian cast +
+  # anisotropic diag IPE on raw world coordinates — no multisampling,
+  # no contraction, no scene_scale — inside the zip hierarchy/trainer.
+  # Isolates the featurization chain from the trainer/data path.
   encoder_type: str = "hash"
   # World pre-scale applied before the mip-360 contraction. The
   # reference always feeds the model a PCA-normalized world
@@ -290,6 +295,21 @@ class ZipMLP(nn.Module):
     mean over the n multisamples (models.py:484-518).
     """
     c = self.cfg
+    if c.encoder_type == "mipcast":
+      # `stds` carries the per-interval DIAG covariance [..., S, 3]
+      # from mip.cast_rays (see ZipNerfModel.__call__); no n axis, no
+      # contraction — exactly mip's _encode_samples no-warp path
+      # (models/mipnerf.py:87-95). Density normals (grad-through-mean)
+      # are unsupported on this diagnostic path.
+      enc = mip.integrated_pos_enc(means, stds, 0, c.ipe_max_deg,
+                                   diag=True)
+      h = self._trunk(enc)
+      x = self.density_out(h)
+      raw_density = x[..., 0]
+      if rng is not None and c.density_noise > 0:
+        raw_density = raw_density + c.density_noise * jax.random.normal(
+            rng, raw_density.shape)
+      return raw_density, x
     z, new_std = coord.contract_mean_std(means * c.scene_scale,
                                          stds * c.scene_scale)
     if c.encoder_type == "hash":
@@ -556,11 +576,16 @@ class ZipNerfModel(nn.Module):
 
       tdist = s_to_t(sdist)
 
-      base_x, base_y = _ray_basis(rays.directions)
-      means, stds = render.cast_rays_multisample(
-          keys[2 * i_level + 1], tdist, rays.origins, rays.directions,
-          rays.radii[..., 0], base_x, base_y, n=c.sample_n, m=c.sample_m,
-          std_scale=c.std_scale)
+      if c.encoder_type == "mipcast":
+        means, stds = mip.cast_rays(
+            tdist, rays.origins, rays.directions, rays.radii,
+            "cylinder", diag=True)
+      else:
+        base_x, base_y = _ray_basis(rays.directions)
+        means, stds = render.cast_rays_multisample(
+            keys[2 * i_level + 1], tdist, rays.origins, rays.directions,
+            rays.radii[..., 0], base_x, base_y, n=c.sample_n,
+            m=c.sample_m, std_scale=c.std_scale)
 
       mlp = self.prop_mlps[i_level] if is_prop else self.nerf_mlp
       ray_results = mlp(
