@@ -300,6 +300,30 @@ ARMS = {
     "mipcast_plain": dict(encoder="mipcast", depth_mult=0.1,
                           overrides=dict(_MIPEQ_MODEL),
                           tcfg_overrides=dict(_MIPEQ_LOSS)),
+    # batch 11: sample-placement + rendering bisects. The feature-
+    # spectrum probe (scripts/probe_feature_spectrum.py) REFUTED
+    # featurization band-limiting analytically (zip encodes to deg 15
+    # vs mip's 13 on identical intervals), and noprop's 27 vs mipeq's
+    # 27 may have DIFFERENT causes (128 uniform samples = 22 mm
+    # spacing vs possible proposal collapse once mipeq stripped
+    # dilation+anneal with resample_padding still 0).
+    # (a) oracle density of samples: one level, 512 uniform — if
+    # placement is the whole deficit this must fit ~41 train.
+    "noprop512": dict(encoder="ipe",
+                      overrides=dict(num_levels=1,
+                                     num_nerf_samples=512),
+                      tcfg_overrides=dict(anti_interlevel_loss_mult=0.0)),
+    # (b) mip's anti-collapse floor on the mipeq resampler
+    "mipeq_pad": dict(encoder="ipe", depth_mult=0.1,
+                      overrides={**_MIPEQ_MODEL,
+                                 "resample_padding": 0.01},
+                      tcfg_overrides=dict(_MIPEQ_LOSS)),
+    # (c) mip's compositing semantics: transparent background
+    "mipeq_bg": dict(encoder="ipe", depth_mult=0.1,
+                     overrides={**_MIPEQ_MODEL,
+                                "opaque_background": False,
+                                "bg_intensity_range": (0.0, 0.0)},
+                     tcfg_overrides=dict(_MIPEQ_LOSS)),
 }
 
 
