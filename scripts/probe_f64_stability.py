@@ -56,6 +56,15 @@ ARMS = {
                    tcfg=dict(encoder_grad_max_norm=0.0005)),
     "b2_64": dict(level_dim=64, lr_delay_frac=0.0,
                   tcfg=dict(adam_beta2=0.999, adam_eps=1e-8)),
+    # zero-init the density column of density_out: the measured failure
+    # mode (TPU probe, base64) is an all-opaque collapse inside the
+    # first 40 steps (dens_mean 0.7 -> 2963, rgb_std -> 0, grads ->
+    # 1e-13 saturated) — the CP features' DC (init mean 1 x 256 dims)
+    # kicks the density head hard at step 0; mip's zero-mean IPE
+    # features never do. Zero column = density starts at
+    # softplus(bias) everywhere, no early kick.
+    "dz64": dict(level_dim=64, lr_delay_frac=0.0,
+                 mcfg=dict(density_zero_init=True)),
 }
 
 
@@ -85,9 +94,14 @@ def main():
   ap.add_argument("--log_every", type=int, default=20)
   ap.add_argument("--seed", type=int, default=0)
   ap.add_argument("--out", type=str, default="")
+  ap.add_argument("--cpu", action="store_true",
+                  help="force the CPU backend (the JAX_PLATFORMS env "
+                       "var alone is overridden by the axon plugin)")
   args = ap.parse_args()
 
   import jax
+  if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
   import jax.numpy as jnp
   from snerf_tpu.data import make_synthetic_scene
   from snerf_tpu.data.raygen import rays_for_image

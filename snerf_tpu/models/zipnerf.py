@@ -110,6 +110,13 @@ class ZipNerfConfig:
   # ipe/cp encoders the whole scene must pass through this layer; 256
   # removes the bottleneck. 64 = reference parity.
   density_hidden_width: int = 64
+  # zero-init the DENSITY column of density_out: density starts at
+  # softplus(density_bias) everywhere instead of being kicked by the
+  # encoder features' DC at step 0 (the measured F>=64 full-lr failure
+  # mode is an all-opaque collapse in the first 40 steps —
+  # scripts/probe_f64_stability.py / PERF.md round-4). The other
+  # bottleneck columns keep glorot, so trunk gradients still flow.
+  density_zero_init: bool = False
   # BARF-style coarse-to-fine windows (fraction of training over which
   # the window opens; 0 disables). ipe_anneal_frac windows IPE degrees,
   # cp_anneal_frac windows CP levels.
@@ -244,7 +251,17 @@ class ZipMLP(nn.Module):
     out_width = 1 if self.disable_rgb else c.bottleneck_width
     self.density_hidden = nn.Dense(c.density_hidden_width, dtype=dt,
                                    name="density_hidden")
-    self.density_out = nn.Dense(out_width, dtype=dt, name="density_out")
+    if c.density_zero_init:
+      glorot = nn.initializers.lecun_normal()
+      def dz_init(key, shape, dtype=jnp.float32):
+        k = glorot(key, shape, dtype)
+        return k.at[:, 0].set(0.0)
+      self.density_out = nn.Dense(out_width, dtype=dt,
+                                  kernel_init=dz_init,
+                                  name="density_out")
+    else:
+      self.density_out = nn.Dense(out_width, dtype=dt,
+                                  name="density_out")
     if c.enable_pred_normals:
       self.normals_head = nn.Dense(3, dtype=jnp.float32,
                                    name="normals_head")
