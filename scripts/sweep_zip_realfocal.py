@@ -324,6 +324,33 @@ ARMS = {
                                 "opaque_background": False,
                                 "bg_intensity_range": (0.0, 0.0)},
                      tcfg_overrides=dict(_MIPEQ_LOSS)),
+    # batch 12: PRODUCTION form of the mipcast win (36.88/44.54 —
+    # beats mip's own 33.65/41.57): anisotropic interval-cast IPE
+    # through the contraction + trunk topology. 'aniso' = mipcast
+    # protocol for 1:1 comparability (isolates the contraction's
+    # cost vs raw-world coords); 'aniso_ship' = the same on the
+    # SHIPPED zip protocol (power raydist, zip sample ladder, charb,
+    # distortion, anneal, dilation) — the production candidate.
+    "aniso": dict(encoder="ipe", depth_mult=0.1,
+                  overrides={**_MIPEQ_MODEL, "ipe_anisotropic": True,
+                             "ipe_skip_layer": 4,
+                             "density_hidden_width": 512},
+                  tcfg_overrides=dict(_MIPEQ_LOSS)),
+    "aniso_ship": dict(encoder="ipe",
+                       overrides=dict(ipe_anisotropic=True,
+                                      ipe_skip_layer=4,
+                                      density_hidden_width=512,
+                                      ipe_density_width=512,
+                                      ipe_density_depth=8,
+                                      ipe_max_deg=16,
+                                      scene_scale=0.2725)),
+    # aniso_ship minus the depth/loss equalizers but with mip's lr?
+    # keep one knob-free control: stock zip protocol + aniso featurizer
+    # only (no topology) to separate the two factors on-protocol.
+    "aniso_only": dict(encoder="ipe",
+                       overrides=dict(ipe_anisotropic=True,
+                                      ipe_max_deg=16,
+                                      scene_scale=0.2725)),
 }
 
 

@@ -140,6 +140,13 @@ class Config:
   zip_ipe_density_depth: int = 4
   zip_ipe_max_deg: int = 12
   zip_ipe_anneal_frac: float = 0.0  # BARF-style degree window (0 = off)
+  # anisotropic interval-cast IPE through the contraction (the round-4
+  # quality fix: +9 dB with the topology knobs on street-focal
+  # geometry; models/zipnerf.py ipe_anisotropic)
+  zip_ipe_anisotropic: bool = False
+  zip_ipe_skip_layer: int = 0       # trunk skip-cat period (0 = off)
+  zip_density_hidden_width: int = 64
+  zip_density_zero_init: bool = False
   # integrated-CP encoder (models/cpgrid.py)
   zip_cp_num_levels: int = 4
   zip_cp_level_dim: int = 16
@@ -278,6 +285,10 @@ class Config:
         ipe_density_depth=self.zip_ipe_density_depth,
         ipe_max_deg=self.zip_ipe_max_deg,
         ipe_anneal_frac=self.zip_ipe_anneal_frac,
+        ipe_anisotropic=self.zip_ipe_anisotropic,
+        ipe_skip_layer=self.zip_ipe_skip_layer,
+        density_hidden_width=self.zip_density_hidden_width,
+        density_zero_init=self.zip_density_zero_init,
         cp_num_levels=self.zip_cp_num_levels,
         cp_level_dim=self.zip_cp_level_dim,
         cp_base_resolution=self.zip_cp_base_resolution,

@@ -98,6 +98,16 @@ class ZipNerfConfig:
   ipe_max_deg: int = 12
   ipe_density_depth: int = 4
   ipe_density_width: int = 256
+  # PRODUCTION form of the round-4 'mipcast' finding: per-interval
+  # cylindrical Gaussian cast (anisotropic diag cov — along-ray extent
+  # + cross-ray footprint) propagated through the mip-360 contraction
+  # with the closed-form diag Jacobian (coord.warp_fn2_gaussian_diag,
+  # radius=1 == zip's contract), then axis-aligned IPE. Replaces the
+  # n-multisample isotropic chain for the 'ipe' encoder: exact cone
+  # integral at 1/n the encode cost, and the anisotropy is what buys
+  # the fit (realfocal batch-10: 36.88 vs 27.36 held-out with the
+  # trunk topology fixes; PERF.md). Keeps unbounded-scene semantics.
+  ipe_anisotropic: bool = False
   # skip-cat of the encoder features back into the trunk after layer i
   # (i > 0, i % skip == 0; mip's NerfMLP convention, models.py:268-272).
   # The reference zip MLP has NO trunk skips — capacity lives in its
@@ -295,6 +305,9 @@ class ZipMLP(nn.Module):
       enc = enc * win
     return enc.mean(axis=-2)  # mean over n multisamples
 
+  def _aniso(self):
+    return self.cfg.ipe_anisotropic and self.cfg.encoder_type == "ipe"
+
   def _trunk(self, h):
     """ipe_layers stack (+ optional skip-cat) + density_hidden."""
     skip = self.cfg.ipe_skip_layer
@@ -312,14 +325,28 @@ class ZipMLP(nn.Module):
     mean over the n multisamples (models.py:484-518).
     """
     c = self.cfg
-    if c.encoder_type == "mipcast":
+    if c.encoder_type == "mipcast" or self._aniso():
       # `stds` carries the per-interval DIAG covariance [..., S, 3]
-      # from mip.cast_rays (see ZipNerfModel.__call__); no n axis, no
-      # contraction — exactly mip's _encode_samples no-warp path
-      # (models/mipnerf.py:87-95). Density normals (grad-through-mean)
-      # are unsupported on this diagnostic path.
-      enc = mip.integrated_pos_enc(means, stds, 0, c.ipe_max_deg,
-                                   diag=True)
+      # from mip.cast_rays (see ZipNerfModel.__call__); no n axis.
+      # mipcast: raw world coords (diagnostic, bounded scenes only —
+      # mip's _encode_samples no-warp path, models/mipnerf.py:87-95).
+      # ipe_anisotropic: scene_scale + contraction with closed-form
+      # diag-Jacobian cov propagation (radius=1 == zip contract).
+      # Density normals (grad-through-mean) unsupported on both.
+      if self._aniso():
+        s = c.scene_scale
+        z, var = coord.warp_fn2_gaussian_diag(means * s,
+                                              stds * (s * s),
+                                              radius=1.0)
+      else:
+        z, var = means, stds
+      enc = mip.integrated_pos_enc(z, var, 0, c.ipe_max_deg, diag=True)
+      if c.ipe_anneal_frac > 0:
+        from snerf_tpu.models.cpgrid import cosine_window
+        alpha = jnp.clip(
+            train_frac / c.ipe_anneal_frac, 0.0, 1.0) * c.ipe_max_deg
+        win = cosine_window(alpha, c.ipe_max_deg)
+        enc = enc * jnp.tile(jnp.repeat(win, 3), 2)
       h = self._trunk(enc)
       x = self.density_out(h)
       raw_density = x[..., 0]
@@ -593,7 +620,8 @@ class ZipNerfModel(nn.Module):
 
       tdist = s_to_t(sdist)
 
-      if c.encoder_type == "mipcast":
+      if c.encoder_type == "mipcast" or (c.ipe_anisotropic
+                                         and c.encoder_type == "ipe"):
         means, stds = mip.cast_rays(
             tdist, rays.origins, rays.directions, rays.radii,
             "cylinder", diag=True)
