@@ -5,11 +5,21 @@ Known facts (PERF.md rounds 3-4): cp_ipe/cp_hash with cp_level_dim=64
 (256 total CP dims) lands at 9.24 dB (constant output) when trained at
 full lr from step 0 on the 24-view synthetic protocol — at every lr
 (2e-3/3e-3/8e-3), init scale (0.05/0.1), feature norm (center/
-layernorm), and matmul precision (DEFAULT/HIGHEST) tried — while the
-SAME config trains on the CPU backend, and a 10% lr warmup
-(the reference's own shipped schedule, lr_delay_mult 1e-3) cures it.
-F=16 trains everywhere. "Early-training density collapse" was the
-round-3 hypothesis; this probe measures it instead of assuming it.
+layernorm), and matmul precision (DEFAULT/HIGHEST) tried — and a 10%
+lr warmup (the reference's own shipped schedule, lr_delay_mult 1e-3)
+cures it. F=16 trains everywhere.
+
+ROUND-4 CORRECTION: the round-3 "trains on the CPU backend" datapoint
+was an artifact — JAX_PLATFORMS=cpu alone is overridden by the axon
+plugin, so that control silently ran on the chip. With the backend
+actually forced (--cpu), the CPU trajectory collapses identically
+(step-800: psnr 9.45, rgb_std 0, dens_mean 22k, grads ~1e-14) — the
+divergence is BACKEND-INDEPENDENT, not TPU numerics.
+
+Measured mechanism (base64, both backends): all-opaque collapse inside
+the first 40 steps — density 0.7 -> 3000 while rgb_std -> 0, then
+gradients vanish (1e-13, saturated). The CP features' DC (init mean 1
+x 256 dims) kicks the density head at step 0.
 
 Per --log_every steps it records:
   loss / train psnr            (step metrics)
