@@ -71,6 +71,16 @@ ARMS["f64_bound"] = dict(
 ARMS["f64_plvl"] = dict(
     ARMS["f64"], lr_delay_frac=0.0,
     tcfg=dict(encoder_level_lr_gamma=0.5))
+# density_zero_init: THE measured cure (f64 probe dz64: trains from
+# lr_delay 0 to 40.2 dB @ 800 steps where base64 collapses to 9.4) —
+# zero the density column of density_out so the CP features' DC cannot
+# kick the density head at step 0.
+ARMS["cns_dz"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "density_zero_init": True})
+ARMS["f64_dz"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    mcfg={**ARMS["f64"]["mcfg"], "density_zero_init": True})
 
 
 def make_scene(which):

@@ -351,6 +351,16 @@ ARMS = {
                        overrides=dict(ipe_anisotropic=True,
                                       ipe_max_deg=16,
                                       scene_scale=0.2725)),
+    # batch 13: the anisotropic cast + topology on the cp_hash family
+    # (per-axis CP profiles take the per-axis variances natively)
+    "cns_aniso": dict(encoder="cp_hash",
+                      overrides=dict(cp_anisotropic=True,
+                                     ipe_skip_layer=4,
+                                     density_hidden_width=512,
+                                     ipe_density_width=512,
+                                     ipe_density_depth=8,
+                                     ipe_max_deg=16,
+                                     scene_scale=0.2725)),
 }
 
 

@@ -144,6 +144,7 @@ class Config:
   # quality fix: +9 dB with the topology knobs on street-focal
   # geometry; models/zipnerf.py ipe_anisotropic)
   zip_ipe_anisotropic: bool = False
+  zip_cp_anisotropic: bool = False  # same cast for the cp/cp_hash family
   zip_ipe_skip_layer: int = 0       # trunk skip-cat period (0 = off)
   zip_density_hidden_width: int = 64
   zip_density_zero_init: bool = False
@@ -286,6 +287,7 @@ class Config:
         ipe_max_deg=self.zip_ipe_max_deg,
         ipe_anneal_frac=self.zip_ipe_anneal_frac,
         ipe_anisotropic=self.zip_ipe_anisotropic,
+        cp_anisotropic=self.zip_cp_anisotropic,
         ipe_skip_layer=self.zip_ipe_skip_layer,
         density_hidden_width=self.zip_density_hidden_width,
         density_zero_init=self.zip_density_zero_init,

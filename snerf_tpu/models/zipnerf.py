@@ -108,6 +108,13 @@ class ZipNerfConfig:
   # the fit (realfocal batch-10: 36.88 vs 27.36 held-out with the
   # trunk topology fixes; PERF.md). Keeps unbounded-scene semantics.
   ipe_anisotropic: bool = False
+  # the same anisotropic interval cast for the CP encoder family
+  # (cp/cp_ipe/cp_hash/cp_tri): per-axis variances feed CPEncoding's
+  # per-axis Gaussian profiles directly (cpgrid.py accepts [..., n, 3]
+  # stds), the IPE part gets the per-axis diag, and the fine-hash erf
+  # uses the isotropic-equivalent mean variance. One cast per interval
+  # (n=1) instead of sample_n multisamples.
+  cp_anisotropic: bool = False
   # skip-cat of the encoder features back into the trunk after layer i
   # (i > 0, i % skip == 0; mip's NerfMLP convention, models.py:268-272).
   # The reference zip MLP has NO trunk skips — capacity lives in its
@@ -288,12 +295,15 @@ class ZipMLP(nn.Module):
         self.glo_1 = nn.Dense(c.bottleneck_width * 2, dtype=dt,
                               name="glo_1")
 
-  def _ipe_enc(self, z, new_std, train_frac):
-    """Annealable IPE of the contracted Gaussians, multisample-averaged."""
+  def _ipe_enc(self, z, new_std, train_frac, var3=None):
+    """Annealable IPE of the contracted Gaussians, multisample-averaged.
+
+    var3 (per-axis variance, shape of z) overrides the isotropic
+    new_std**2 under the anisotropic cast."""
     c = self.cfg
-    enc = mip.integrated_pos_enc(
-        z, jnp.broadcast_to((new_std ** 2)[..., None], z.shape),
-        0, c.ipe_max_deg, diag=True)
+    var = (var3 if var3 is not None else
+           jnp.broadcast_to((new_std ** 2)[..., None], z.shape))
+    enc = mip.integrated_pos_enc(z, var, 0, c.ipe_max_deg, diag=True)
     if c.ipe_anneal_frac > 0:
       # BARF-style coarse-to-fine degree window; enc layout is
       # [deg0_xyz, deg1_xyz, ... | same for cos] (ops/mip.py:124-129).
@@ -307,6 +317,10 @@ class ZipMLP(nn.Module):
 
   def _aniso(self):
     return self.cfg.ipe_anisotropic and self.cfg.encoder_type == "ipe"
+
+  def _cp_aniso(self):
+    return (self.cfg.cp_anisotropic and self.cfg.encoder_type
+            in ("cp", "cp_ipe", "cp_hash", "cp_tri"))
 
   def _trunk(self, h):
     """ipe_layers stack (+ optional skip-cat) + density_hidden."""
@@ -354,8 +368,22 @@ class ZipMLP(nn.Module):
         raw_density = raw_density + c.density_noise * jax.random.normal(
             rng, raw_density.shape)
       return raw_density, x
-    z, new_std = coord.contract_mean_std(means * c.scene_scale,
-                                         stds * c.scene_scale)
+    if self._cp_aniso():
+      # anisotropic interval cast (see cp_anisotropic): `stds` carries
+      # the per-interval DIAG covariance [..., S, 3] from
+      # mip.cast_rays; propagate through the contraction and re-add an
+      # n=1 multisample axis so the downstream shapes are unchanged.
+      s = c.scene_scale
+      z3, var3 = coord.warp_fn2_gaussian_diag(means * s,
+                                              stds * (s * s),
+                                              radius=1.0)
+      z = z3[..., None, :]                     # [..., S, 1, 3]
+      var3 = var3[..., None, :]
+      new_std = jnp.sqrt(var3.mean(axis=-1))   # isotropic equivalent
+    else:
+      var3 = None
+      z, new_std = coord.contract_mean_std(means * c.scene_scale,
+                                           stds * c.scene_scale)
     if c.encoder_type == "hash":
       # contract maps into [-2, 2]; normalize to [0, 1] for the grid.
       x01 = (z / 2.0 + 1.0) / 2.0
@@ -371,7 +399,11 @@ class ZipMLP(nn.Module):
       # per-axis Gaussian profile integrates the feature field under
       # each multisample's Gaussian analytically.
       x01 = (z / 2.0 + 1.0) / 2.0
-      std01 = new_std / 4.0
+      # per-axis stds for the CP profiles under the anisotropic cast;
+      # scalar paths (fine-hash erf) use the isotropic equivalent.
+      std01 = (jnp.sqrt(var3) / 4.0 if var3 is not None
+               else new_std / 4.0)
+      std01_s = new_std / 4.0
       level_window = None
       if c.cp_anneal_frac > 0:
         from snerf_tpu.models.cpgrid import cosine_window
@@ -389,7 +421,7 @@ class ZipMLP(nn.Module):
         feats = (feats - mu) * jax.lax.rsqrt(var + 1e-6)
       parts = [feats]
       if c.encoder_type in ("cp_ipe", "cp_hash", "cp_tri"):
-        parts.append(self._ipe_enc(z, new_std, train_frac))
+        parts.append(self._ipe_enc(z, new_std, train_frac, var3=var3))
       if (c.encoder_type in ("cp_hash", "cp_tri")
           and hasattr(self, "hash_fine")):
         # fine hash level(s) on the nerf MLP only, erf-downweighted
@@ -401,7 +433,7 @@ class ZipMLP(nn.Module):
         if c.cp_hash_per_sample:
           hfeat = self.hash_fine(x01)                   # [..., n, L, C]
           w = jax.lax.erf(1.0 / jnp.sqrt(
-              8.0 * (std01[..., None] * g) ** 2 + 1e-20))
+              8.0 * (std01_s[..., None] * g) ** 2 + 1e-20))
           hfeat = (hfeat * w[..., None]).mean(axis=-3)  # [..., L, C]
         elif c.cp_hash_split > 1:
           n = x01.shape[-2]
@@ -410,7 +442,7 @@ class ZipMLP(nn.Module):
           G = (gid[None, :] == jnp.arange(k)[:, None])  # [k, n] one-hot
           W = G.astype(x01.dtype) / G.sum(-1, keepdims=True)
           gm = jnp.einsum("kn,...nd->...kd", W, x01)    # [..., k, 3]
-          gv = jnp.einsum("kn,...n->...k", W, std01 ** 2)
+          gv = jnp.einsum("kn,...n->...k", W, std01_s ** 2)
           if c.cp_hash_use_spread:
             back = jnp.einsum("nk,...kd->...nd", G.T.astype(x01.dtype),
                               gm)                       # group mean/sample
@@ -422,7 +454,7 @@ class ZipMLP(nn.Module):
           hfeat = (hfeat * w[..., None]).mean(axis=-3)  # [..., L, C]
         else:
           m1 = x01.mean(axis=-2, keepdims=True)         # [..., 1, 3]
-          var1 = (std01 ** 2).mean(axis=-1)             # [...]
+          var1 = (std01_s ** 2).mean(axis=-1)           # [...]
           if c.cp_hash_use_spread:
             var1 = var1 + ((x01 - m1) ** 2).mean(axis=(-2, -1))
           if c.cp_hash_dither and rng is not None:
@@ -620,8 +652,12 @@ class ZipNerfModel(nn.Module):
 
       tdist = s_to_t(sdist)
 
-      if c.encoder_type == "mipcast" or (c.ipe_anisotropic
-                                         and c.encoder_type == "ipe"):
+      aniso_cast = (
+          c.encoder_type == "mipcast"
+          or (c.ipe_anisotropic and c.encoder_type == "ipe")
+          or (c.cp_anisotropic and c.encoder_type
+              in ("cp", "cp_ipe", "cp_hash", "cp_tri")))
+      if aniso_cast:
         means, stds = mip.cast_rays(
             tdist, rays.origins, rays.directions, rays.radii,
             "cylinder", diag=True)
