@@ -81,6 +81,18 @@ ARMS["cns_dz"] = dict(
 ARMS["f64_dz"] = dict(
     ARMS["f64"], lr_delay_frac=0.0,
     mcfg={**ARMS["f64"]["mcfg"], "density_zero_init": True})
+# F=128 capacity point (VERDICT r3 #4 done-criterion), dz-cured
+ARMS["f128_dz"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    mcfg={**ARMS["f64"]["mcfg"], "cp_level_dim": 128,
+          "density_zero_init": True})
+# anisotropic cast + topology on the A/B ladder (scene-level check of
+# the realfocal win; same 5k budget as cns_ema)
+ARMS["cns_aniso"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_anisotropic": True,
+          "ipe_skip_layer": 4, "density_hidden_width": 512,
+          "density_zero_init": True})
 
 
 def make_scene(which):

@@ -75,6 +75,9 @@ ARMS = {
     # softplus(bias) everywhere, no early kick.
     "dz64": dict(level_dim=64, lr_delay_frac=0.0,
                  mcfg=dict(density_zero_init=True)),
+    # capacity scaling past the old F=64 wall, under the cure
+    "dz128": dict(level_dim=128, lr_delay_frac=0.0,
+                  mcfg=dict(density_zero_init=True)),
 }
 
 
