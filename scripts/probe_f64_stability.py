@@ -80,6 +80,31 @@ ARMS = {
                   mcfg=dict(density_zero_init=True)),
 }
 
+# Scene-b instability family (round-4: the cns cp_hash F=16 arms
+# collapse to scene b's constant-output 14.56 dB at seeds 0/1 at full
+# lr REGARDLESS of density_zero_init or the anisotropic cast — a
+# DIFFERENT failure than the F>=64 DC-kick; never probed with warmup
+# or bounded tables). Use with --scene b; config mirrors
+# ab_multiscene's cns arm (cp_hash, F=16, lr 2e-3 x4).
+_CNS_MCFG = dict(encoder_type="cp_hash", ipe_max_deg=12,
+                 cp_num_levels=4, cp_level_dim=16,
+                 cp_base_resolution=128, cp_max_resolution=1024,
+                 cp_hash_resolution=2048, cp_hash_log2=19,
+                 cp_hash_use_spread=False)
+ARMS.update({
+    "cnsb_base": dict(level_dim=16, lr_delay_frac=0.0,
+                      mcfg=dict(_CNS_MCFG)),
+    "cnsb_warm": dict(level_dim=16, lr_delay_frac=0.1,
+                      mcfg=dict(_CNS_MCFG)),
+    "cnsb_bound": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg={**_CNS_MCFG, "cp_factor_bound": 0.5}),
+    "cnsb_dz": dict(level_dim=16, lr_delay_frac=0.0,
+                    mcfg={**_CNS_MCFG, "density_zero_init": True}),
+    "cnsb_clip": dict(level_dim=16, lr_delay_frac=0.0,
+                      mcfg=dict(_CNS_MCFG),
+                      tcfg=dict(encoder_grad_max_norm=0.0005)),
+})
+
 
 def factor_stats(params):
   """Host-side stats of the nerf MLP's CP factor tables."""
@@ -110,6 +135,7 @@ def main():
   ap.add_argument("--cpu", action="store_true",
                   help="force the CPU backend (the JAX_PLATFORMS env "
                        "var alone is overridden by the axon plugin)")
+  ap.add_argument("--scene", default="a", choices=["a", "b"])
   args = ap.parse_args()
 
   import jax
@@ -124,7 +150,13 @@ def main():
       ZipTrainConfig, create_zip_train_state, make_zip_train_step)
 
   spec = ARMS[args.arm]
-  scene = make_synthetic_scene(num_images=24, H=192, W=256, datahold=8)
+  if args.scene == "a":
+    scene = make_synthetic_scene(num_images=24, H=192, W=256,
+                                 datahold=8)
+  else:
+    scene = make_synthetic_scene(num_images=24, H=160, W=160,
+                                 focal=80.0, detail_blobs=48,
+                                 datahold=8)
   dev = scene_to_device(scene)
 
   mkw = dict(encoder_type="cp_ipe", ipe_max_deg=12, cp_num_levels=4,
