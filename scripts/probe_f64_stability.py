@@ -107,7 +107,13 @@ ARMS.update({
 
 
 def factor_stats(params):
-  """Host-side stats of the nerf MLP's CP factor tables."""
+  """Host-side stats of the nerf MLP's CP factor tables.
+
+  Takes the LIVE (device) param tree and fetches ONLY the cp_grid
+  subtree — device_get of the full tree stalls the tunnel for the
+  cp_hash arms (the 2^19-row hash level alone is ~32 MB per pull).
+  """
+  import jax
   out = {}
   try:
     cp = params["nerf_mlp"]["cp_grid"]
@@ -119,7 +125,7 @@ def factor_stats(params):
     else:
       return out
   for name, v in cp.items():
-    v = np.asarray(v)
+    v = np.asarray(jax.device_get(v))
     out[f"{name}_absmax"] = float(np.max(np.abs(v)))
     out[f"{name}_rms1"] = float(np.sqrt(np.mean((v - 1.0) ** 2)))
   return out
@@ -216,8 +222,7 @@ def main():
       d = diag(state.params, probe_rays)
       rec.update({k2: round(float(v), 6) for k2, v in d.items()})
       rec.update({k2: round(v, 5)
-                  for k2, v in factor_stats(
-                      jax.device_get(state.params)).items()})
+                  for k2, v in factor_stats(state.params).items()})
       line = json.dumps(rec)
       print(line, flush=True)
       recs.append(line)
