@@ -103,6 +103,28 @@ ARMS.update({
     "cnsb_clip": dict(level_dim=16, lr_delay_frac=0.0,
                       mcfg=dict(_CNS_MCFG),
                       tcfg=dict(encoder_grad_max_norm=0.0005)),
+    # Transparent-init family: the measured scene-b signature is
+    # acc_mean=1.0 at step 1 — softplus(density_bias=-1) ~ 0.31 makes
+    # the INIT itself a near-opaque fog over scene-b's ray lengths, so
+    # the all-opaque minimum is downhill from step 0 regardless of the
+    # DC kick (dz) or the lr schedule (warm collapses by step 40 at
+    # ~1e-3 of full lr). Start transparent instead: bias=-5 gives
+    # softplus(-5) ~ 6.7e-3 (acc ~ 0 at init), dz removes the kick.
+    "cnsb_bias": dict(level_dim=16, lr_delay_frac=0.0,
+                      mcfg={**_CNS_MCFG, "density_bias": -5.0}),
+    "cnsb_dzbias": dict(level_dim=16, lr_delay_frac=0.0,
+                        mcfg={**_CNS_MCFG, "density_bias": -5.0,
+                              "density_zero_init": True}),
+    # Trunk-side arms: step-1 gnorm_net is 0.4 (vs gnorm_grid 5e-4) —
+    # the constant-color commit is driven by the TRUNK/head update,
+    # which encoder-side knobs (bound/clip/dz/warm lr ramp) never
+    # touch. Probe a halved trunk lr and a 10x tighter global clip.
+    "cnsb_lr1": dict(level_dim=16, lr_delay_frac=0.0,
+                     mcfg=dict(_CNS_MCFG),
+                     tcfg=dict(lr_init=1e-3, lr_final=1e-4)),
+    "cnsb_gclip": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg=dict(_CNS_MCFG),
+                       tcfg=dict(grad_max_norm=0.0001)),
 })
 
 
