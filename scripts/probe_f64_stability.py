@@ -118,13 +118,72 @@ ARMS.update({
     # Trunk-side arms: step-1 gnorm_net is 0.4 (vs gnorm_grid 5e-4) —
     # the constant-color commit is driven by the TRUNK/head update,
     # which encoder-side knobs (bound/clip/dz/warm lr ramp) never
-    # touch. Probe a halved trunk lr and a 10x tighter global clip.
+    # touch. cnsb_lr1 halves the trunk lr while holding the encoder's
+    # ABSOLUTE lr constant (encoder lr = encoder_lr_mult x base
+    # schedule, zip_trainer.py:206 — so lr_init 2e-3 x4 == 1e-3 x8),
+    # isolating the trunk as the variable; cnsb_gclip is a 10x tighter
+    # global clip.
     "cnsb_lr1": dict(level_dim=16, lr_delay_frac=0.0,
                      mcfg=dict(_CNS_MCFG),
-                     tcfg=dict(lr_init=1e-3, lr_final=1e-4)),
+                     tcfg=dict(lr_init=1e-3, lr_final=1e-4,
+                               encoder_lr_mult=8.0)),
     "cnsb_gclip": dict(level_dim=16, lr_delay_frac=0.0,
                        mcfg=dict(_CNS_MCFG),
                        tcfg=dict(grad_max_norm=0.0001)),
+    # Wave-2 arms (round-5): the wave-1 result is that EVERY encoder-
+    # side knob (warm/bound/dz/clip) and the transparent init (bias -5)
+    # still land at the constant-color 14.90 floor — dz flips the
+    # collapse to all-TRANSPARENT (density -> 0, the opaque background
+    # absorbing every ray) instead of all-opaque, so the attractor is
+    # the constant-color solution itself, reachable in either density
+    # direction. These arms bisect encoder family vs trunk dynamics vs
+    # compositing semantics:
+    "cnsb_ipe": dict(level_dim=16, lr_delay_frac=0.0,
+                     mcfg=dict(encoder_type="ipe", ipe_max_deg=12)),
+    "cnsb_hash": dict(level_dim=16, lr_delay_frac=0.0,
+                      mcfg=dict(encoder_type="hash", grid_num_levels=10,
+                                grid_log2_hashmap_size=19)),
+    # the ladder's hash arm trains at lr 8e-3 mult 1 — control at the
+    # cns schedule AND at its own
+    "cnsb_hash8": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg=dict(encoder_type="hash",
+                                 grid_num_levels=10,
+                                 grid_log2_hashmap_size=19),
+                       tcfg=dict(lr_init=8e-3, lr_final=8e-4,
+                                 encoder_lr_mult=1.0)),
+    # transparent background: remove the free constant-color sink
+    "cnsb_nobg": dict(level_dim=16, lr_delay_frac=0.0,
+                      mcfg={**_CNS_MCFG, "opaque_background": False}),
+    # coarse-to-fine CP level window (rescued F=64 in round 3)
+    "cnsb_anneal": dict(level_dim=16, lr_delay_frac=0.0,
+                        mcfg={**_CNS_MCFG, "cp_anneal_frac": 0.3}),
+    # the shipped production cast + topology on scene b
+    "cnsb_aniso": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg={**_CNS_MCFG, "cp_anisotropic": True,
+                             "ipe_skip_layer": 4,
+                             "density_hidden_width": 512,
+                             "density_zero_init": True}),
+    # a deeper global lr cut than lr1's half
+    "cnsb_lr5e4": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg=dict(_CNS_MCFG),
+                       tcfg=dict(lr_init=5e-4, lr_final=5e-5,
+                                 encoder_lr_mult=16.0)),
+    # CP feature output transform (models/cpgrid.py): zero-mean
+    # features (center) and the instant-NGP small-init regime
+    # (center + scale 1e-2). Hypothesis: the collapse is the trunk
+    # exploiting the O(init_scale) spatial feature noise to build the
+    # constant-color solution before the tables learn structure —
+    # hash's U(-1e-4,1e-4) init denies it that lever, which is why the
+    # exact-hash arm trains where every cns arm collapses.
+    "cnsb_center": dict(level_dim=16, lr_delay_frac=0.0,
+                        mcfg={**_CNS_MCFG, "cp_feature_center": True}),
+    "cnsb_small": dict(level_dim=16, lr_delay_frac=0.0,
+                       mcfg={**_CNS_MCFG, "cp_feature_center": True,
+                             "cp_feature_scale": 0.01}),
+    "cnsb_small_dz": dict(level_dim=16, lr_delay_frac=0.0,
+                          mcfg={**_CNS_MCFG, "cp_feature_center": True,
+                                "cp_feature_scale": 0.01,
+                                "density_zero_init": True}),
 })
 
 

@@ -369,6 +369,10 @@ def main():
   ap.add_argument("--steps", type=int, default=2000)
   ap.add_argument("--batch", type=int, default=2048)
   ap.add_argument("--arms", nargs="+", default=list(ARMS))
+  ap.add_argument("--seeds", type=int, nargs="+", default=[0],
+                  help="seed-replication (VERDICT r4 #4: protocol "
+                       "noise is +-0.4-1.2 dB; production-arm claims "
+                       "need 3 seeds)")
   ap.add_argument("--out", type=str, default="")
   ap.add_argument("--milestones", type=float, nargs="+",
                   default=[0.25, 0.5, 1.0])
@@ -378,24 +382,26 @@ def main():
   lines = []
   for arm in args.arms:
     spec = ARMS[arm]
-    r = bq.run_zip(scene, args.steps, args.batch, spec["encoder"],
-                   milestones=tuple(args.milestones),
-                   ema=spec.get("ema", 0.0),
-                   overrides=spec.get("overrides"),
-                   lr_delay_frac=spec.get("lr_delay_frac", 0.0),
-                   depth_mult=spec.get("depth_mult", 0.0),
-                   tcfg_overrides=spec.get("tcfg_overrides"))
-    rec = {"arm": arm, "steps": args.steps,
-           "wall_s": round(r["wall_s"], 1),
-           "psnr": round(r["psnr"], 2),
-           "train_psnr": round(r["train_psnr"], 2),
-           "curve": r["curve"]}
-    line = json.dumps(rec)
-    print(line, flush=True)
-    lines.append(line)
-  if args.out:
-    with open(args.out, "w") as f:
-      f.write("\n".join(lines) + "\n")
+    for seed in args.seeds:
+      r = bq.run_zip(scene, args.steps, args.batch, spec["encoder"],
+                     milestones=tuple(args.milestones),
+                     ema=spec.get("ema", 0.0),
+                     overrides=spec.get("overrides"),
+                     lr_delay_frac=spec.get("lr_delay_frac", 0.0),
+                     depth_mult=spec.get("depth_mult", 0.0),
+                     tcfg_overrides=spec.get("tcfg_overrides"),
+                     seed=seed)
+      rec = {"arm": arm, "steps": args.steps, "seed": seed,
+             "wall_s": round(r["wall_s"], 1),
+             "psnr": round(r["psnr"], 2),
+             "train_psnr": round(r["train_psnr"], 2),
+             "curve": r["curve"]}
+      line = json.dumps(rec)
+      print(line, flush=True)
+      lines.append(line)
+      if args.out:
+        with open(args.out, "w") as f:
+          f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -147,7 +147,20 @@ class Config:
   zip_cp_anisotropic: bool = False  # same cast for the cp/cp_hash family
   zip_ipe_skip_layer: int = 0       # trunk skip-cat period (0 = off)
   zip_density_hidden_width: int = 64
-  zip_density_zero_init: bool = False
+  # tri-state: None = auto (True for the cp-family encoders, whose
+  # feature DC otherwise kicks the density head into the measured
+  # all-opaque collapse at F>=64 full lr — PERF.md round-4; False for
+  # hash/ipe reference parity). Set True/False to override.
+  zip_density_zero_init: Any = None
+  # World pre-scale before the mip-360 contraction: ~1/far for bounded
+  # metric scenes loaded without PCA normalization (keeps content inside
+  # the unit ball); leave 1.0 for PCA-normalized unbounded scenes
+  # (models/zipnerf.py scene_scale docstring).
+  zip_scene_scale: float = 1.0
+  # Initial density = softplus(bias). The reference's -1 (~0.31) makes
+  # the INIT a near-opaque fog on long-ray geometries; more negative
+  # values start transparent (models/zipnerf.py density_bias).
+  zip_density_bias: float = -1.0
   # integrated-CP encoder (models/cpgrid.py)
   zip_cp_num_levels: int = 4
   zip_cp_level_dim: int = 16
@@ -160,6 +173,10 @@ class Config:
   # > 0: bounded factor tables v = 1 + b tanh(v_raw/b) — structural cap
   # on CP product runaway (F>=64 stability; models/cpgrid.py)
   zip_cp_factor_bound: float = 0.0
+  # CP feature output centering/scaling (models/cpgrid.py): zero-mean
+  # and/or shrunk features at init — scene-b stability knobs (round 5)
+  zip_cp_feature_center: bool = False
+  zip_cp_feature_scale: float = 1.0
   # 'cp_hash': fine hash level(s) on the nerf MLP, per-interval or
   # per-multisample query (models/zipnerf.py cp_hash_* docs)
   zip_cp_hash_resolution: int = 2048
@@ -290,7 +307,14 @@ class Config:
         cp_anisotropic=self.zip_cp_anisotropic,
         ipe_skip_layer=self.zip_ipe_skip_layer,
         density_hidden_width=self.zip_density_hidden_width,
-        density_zero_init=self.zip_density_zero_init,
+        # None = encoder-aware auto: ON for the cp-family encoders
+        # (the measured F>=64 collapse cure, PERF.md round-4), OFF for
+        # hash/ipe (reference parity).
+        density_zero_init=(self.zip_encoder.startswith("cp")
+                           if self.zip_density_zero_init is None
+                           else bool(self.zip_density_zero_init)),
+        scene_scale=self.zip_scene_scale,
+        density_bias=self.zip_density_bias,
         cp_num_levels=self.zip_cp_num_levels,
         cp_level_dim=self.zip_cp_level_dim,
         cp_base_resolution=self.zip_cp_base_resolution,
@@ -300,6 +324,8 @@ class Config:
         cp_pair_dim=self.zip_cp_pair_dim,
         cp_init_smooth=self.zip_cp_init_smooth,
         cp_factor_bound=self.zip_cp_factor_bound,
+        cp_feature_center=self.zip_cp_feature_center,
+        cp_feature_scale=self.zip_cp_feature_scale,
         cp_hash_resolution=self.zip_cp_hash_resolution,
         cp_hash_log2=self.zip_cp_hash_log2,
         cp_hash_num_levels=self.zip_cp_hash_num_levels,

@@ -97,6 +97,19 @@ class CPEncoding(nn.Module):
   # (1+b)^3 — a structural cap on the multiplicative-runaway failure
   # mode of raw CP products (F>=64 stability investigation, PERF.md).
   factor_bound: float = 0.0
+  # Output transform: feat -> feature_scale * (feat - 1 if
+  # feature_center else feat). Every CP product has expectation ~1 at
+  # init (tables init around 1), so centered features are zero-mean
+  # O(init_scale) noise; with a small feature_scale the trunk sees
+  # near-ZERO features at init — the instant-NGP init regime (tables
+  # U(-1e-4, 1e-4)) where the trunk cannot build spatially-varying
+  # density before the tables learn structure. Round-5 scene-b
+  # stability knobs (the wide-FoV constant-color collapse is driven by
+  # the trunk exploiting the O(init_scale) spatial feature noise;
+  # PERF.md round-5). Gradients into the tables are unchanged by
+  # centering and scaled by feature_scale.
+  feature_center: bool = False
+  feature_scale: float = 1.0
   compute_dtype: Any = jnp.float32
 
   def setup(self):
@@ -214,6 +227,10 @@ class CPEncoding(nn.Module):
             lambda v_, p_, u_, var_, r_=r: self._level_encode(
                 v_, p_, u_, var_, r_, n))
         feat = enc(v, p, u, var)
+      if self.feature_center:
+        feat = feat - 1.0
+      if self.feature_scale != 1.0:
+        feat = feat * self.feature_scale
       if level_window is not None:
         feat = feat * level_window[l].astype(self.compute_dtype)
       outs.append(feat)

@@ -161,6 +161,12 @@ class ZipNerfConfig:
   # per-axis term in [1-b, 1+b] so 3-way products cannot run away
   # (candidate fix for the F>=64 lr_delay=0 divergence; see cpgrid.py)
   cp_factor_bound: float = 0.0
+  # CP feature output transform (cpgrid.py feature_center/feature_scale
+  # docs): center removes the product DC (zero-mean features), scale
+  # < 1 shrinks them toward the instant-NGP small-init regime — the
+  # round-5 scene-b stability knobs.
+  cp_feature_center: bool = False
+  cp_feature_scale: float = 1.0
   cp_pair_dim: int = 0     # rank-F2 pair products (decomposed tri-plane)
   # Encoder-output normalization. The round-3 sweep found a hard
   # divergence boundary at >=256 total encoder dims (F=64 or F=16+pair16
@@ -245,6 +251,8 @@ class ZipMLP(nn.Module):
             init_smooth=c.cp_init_smooth,
             pair_dim=0 if self.disable_rgb else c.cp_pair_dim,
             factor_bound=c.cp_factor_bound,
+            feature_center=c.cp_feature_center,
+            feature_scale=c.cp_feature_scale,
             compute_dtype=dt, name="cp_grid")
         if c.encoder_type == "cp_hash" and not self.disable_rgb:
           base = (c.cp_hash_base_resolution if c.cp_hash_num_levels > 1
