@@ -80,20 +80,32 @@ def fixtures(H=96, W=128):
       "nuscenes_realfocal")
   sc = load_nuscenes_scene(fx, bd_factor=0.0, cam_num=0, datahold=8,
                            no_align=True)
-  i = 20
-  tx, ty, _, in_front = project_to_view(
-      jnp.asarray(sc.depths[i]), jnp.asarray(sc.poses[i]),
-      jnp.asarray(sc.intrinsics[i]), jnp.asarray(sc.poses[i + 1]),
-      jnp.asarray(sc.intrinsics[i + 1]))
-  hh, ww = sc.depths[i].shape
-  yy2, xx2 = np.mgrid[0:hh, 0:ww].astype(np.float32)
-  gt = np.stack([np.asarray(tx) - xx2, np.asarray(ty) - yy2], -1)
-  valid = (np.asarray(in_front) & (sc.depths[i] > 0) &
-           (np.asarray(tx) >= 0) & (np.asarray(tx) <= ww - 1) &
-           (np.asarray(ty) >= 0) & (np.asarray(ty) <= hh - 1))
-  g0 = sc.images[i].astype(np.float32).mean(-1) / 255.0
-  g1 = sc.images[i + 1].astype(np.float32).mean(-1) / 255.0
-  out["street-pair"] = (g0, g1, gt, valid)
+  def _geo_pair(sc, i, j, name):
+    """GT flow frame i -> j from depth+pose reprojection."""
+    tx, ty, _, in_front = project_to_view(
+        jnp.asarray(sc.depths[i]), jnp.asarray(sc.poses[i]),
+        jnp.asarray(sc.intrinsics[i]), jnp.asarray(sc.poses[j]),
+        jnp.asarray(sc.intrinsics[j]))
+    hh, ww = sc.depths[i].shape
+    yy2, xx2 = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    gt = np.stack([np.asarray(tx) - xx2, np.asarray(ty) - yy2], -1)
+    valid = (np.asarray(in_front) & (sc.depths[i] > 0) &
+             (np.asarray(tx) >= 0) & (np.asarray(tx) <= ww - 1) &
+             (np.asarray(ty) >= 0) & (np.asarray(ty) <= hh - 1))
+    g0 = sc.images[i].astype(np.float32).mean(-1) / 255.0
+    g1 = sc.images[j].astype(np.float32).mean(-1) / 255.0
+    out[name] = (g0, g1, gt, valid)
+
+  _geo_pair(sc, 20, 21, "street-pair")
+  # VERDICT r4 #6: more REAL pairs. (a) a larger-baseline realfocal
+  # pair (3 frame steps = 3x the camera translation / flow magnitude);
+  # (b) a nuscenes_tiny pair — a different real street capture.
+  _geo_pair(sc, 20, 23, "street-pair-wide")
+  fx2 = os.path.join(os.path.dirname(fx), "nuscenes_tiny")
+  if os.path.isdir(fx2):
+    sc2 = load_nuscenes_scene(fx2, bd_factor=0.0, cam_num=0,
+                              datahold=8, no_align=True)
+    _geo_pair(sc2, 2, 3, "tiny-pair")
   return out
 
 

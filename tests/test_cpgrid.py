@@ -251,3 +251,57 @@ def test_init_smooth_lowpass():
   assert stats[4.0][0] == pytest.approx(0.1, rel=0.05)   # std preserved
   assert abs(stats[0.0][1]) < 0.2                        # white
   assert stats[4.0][1] > 0.9                             # low-passed
+
+
+def test_feature_center_and_scale():
+  """feature_center subtracts the product DC (zero-mean features at
+  init), feature_scale shrinks them toward the instant-NGP small-init
+  regime (round-5 scene-b stability knobs); gradients into the tables
+  survive both and are scaled by feature_scale."""
+  import numpy as np
+  from snerf_tpu.models.cpgrid import CPEncoding
+  x = jnp.asarray(np.random.RandomState(0).rand(64, 1, 3),
+                  jnp.float32)
+  s = jnp.full((64, 1), 0.01)
+  base = CPEncoding(num_levels=2, level_dim=8, base_resolution=16,
+                    max_resolution=32)
+  v = base.init(jax.random.PRNGKey(0), x, s)
+  f0 = np.asarray(base.apply(v, x, s))
+  cen = CPEncoding(num_levels=2, level_dim=8, base_resolution=16,
+                   max_resolution=32, feature_center=True)
+  f1 = np.asarray(cen.apply(v, x, s))
+  np.testing.assert_allclose(f1, f0 - 1.0, atol=1e-6)
+  assert abs(f1.mean()) < 0.05          # zero-mean at init
+  assert abs(f0.mean() - 1.0) < 0.05    # DC ~1 uncentered
+  sc = CPEncoding(num_levels=2, level_dim=8, base_resolution=16,
+                  max_resolution=32, feature_center=True,
+                  feature_scale=0.01)
+  f2 = np.asarray(sc.apply(v, x, s))
+  np.testing.assert_allclose(f2, 0.01 * f1, atol=1e-7)
+  assert np.sqrt((f2 ** 2).mean()) < 5e-3   # hash-like tiny features
+
+  g1 = jax.grad(lambda p: (cen.apply(p, x, s) ** 2).sum())(v)
+  g2 = jax.grad(lambda p: (sc.apply(p, x, s) ** 2).sum())(v)
+  n1 = np.sqrt(sum(float((a ** 2).sum())
+                   for a in jax.tree_util.tree_leaves(g1)))
+  n2 = np.sqrt(sum(float((a ** 2).sum())
+                   for a in jax.tree_util.tree_leaves(g2)))
+  assert n1 > 0 and n2 > 0              # gradients flow
+
+
+def test_config_density_zero_init_tristate():
+  """zip_density_zero_init: None = encoder-aware auto (ON for the
+  cp-family, OFF for hash/ipe reference parity); explicit bool wins."""
+  from snerf_tpu.config import Config
+  assert Config(zip_encoder="cp_hash").zip_model_config() \
+      .density_zero_init is True
+  assert Config(zip_encoder="cp_ipe").zip_model_config() \
+      .density_zero_init is True
+  assert Config(zip_encoder="hash").zip_model_config() \
+      .density_zero_init is False
+  assert Config(zip_encoder="ipe").zip_model_config() \
+      .density_zero_init is False
+  assert Config(zip_encoder="cp_hash", zip_density_zero_init=False) \
+      .zip_model_config().density_zero_init is False
+  assert Config(zip_encoder="hash", zip_density_zero_init=True) \
+      .zip_model_config().density_zero_init is True
