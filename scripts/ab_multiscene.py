@@ -93,6 +93,26 @@ ARMS["cns_aniso"] = dict(
     mcfg={**ARMS["cns_ema"]["mcfg"], "cp_anisotropic": True,
           "ipe_skip_layer": 4, "density_hidden_width": 512,
           "density_zero_init": True})
+# round-5 scene-b cure: centered CP features scaled to the instant-NGP
+# small-init regime (cp_feature_center + scale 1e-2 + dz) — the probe
+# arm cnsb_small_dz trains to >30 dB on scene b where every other knob
+# (warm/bound/dz/clip/bias/lr) pins at the 14.90 constant-color floor
+# (PERF.md round-5). Ladder arms measure its scene-a cost and its
+# composition with the production aniso arm.
+ARMS["cns_small"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_feature_center": True,
+          "cp_feature_scale": 0.01, "density_zero_init": True})
+ARMS["cns_aniso_small"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_anisotropic": True,
+          "ipe_skip_layer": 4, "density_hidden_width": 512,
+          "density_zero_init": True, "cp_feature_center": True,
+          "cp_feature_scale": 0.01})
+ARMS["f64_small"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    mcfg={**ARMS["f64"]["mcfg"], "cp_feature_center": True,
+          "cp_feature_scale": 0.01, "density_zero_init": True})
 
 
 def make_scene(which):
