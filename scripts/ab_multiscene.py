@@ -113,6 +113,18 @@ ARMS["f64_small"] = dict(
     ARMS["f64"], lr_delay_frac=0.0,
     mcfg={**ARMS["f64"]["mcfg"], "cp_feature_center": True,
           "cp_feature_scale": 0.01, "density_zero_init": True})
+# center at FULL noise scale (the probe's simplest scene-b cure:
+# centering alone trains; scale 1e-2 additionally needs dz) — the
+# shipping candidates
+ARMS["cns_center"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_feature_center": True,
+          "density_zero_init": True})
+ARMS["cns_aniso_center"] = dict(
+    ARMS["cns_ema"],
+    mcfg={**ARMS["cns_ema"]["mcfg"], "cp_anisotropic": True,
+          "ipe_skip_layer": 4, "density_hidden_width": 512,
+          "density_zero_init": True, "cp_feature_center": True})
 
 
 def make_scene(which):

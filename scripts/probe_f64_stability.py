@@ -184,6 +184,13 @@ ARMS.update({
                           mcfg={**_CNS_MCFG, "cp_feature_center": True,
                                 "cp_feature_scale": 0.01,
                                 "density_zero_init": True}),
+    # center at FULL noise scale trains without dz (34.1 dB @400 CPU
+    # steps) — the DC was the poison, not the noise scale. This arm
+    # validates the shipping candidate: center + dz together (dz is
+    # auto-on for cp encoders and cures the separate F>=64 DC-kick).
+    "cnsb_center_dz": dict(level_dim=16, lr_delay_frac=0.0,
+                           mcfg={**_CNS_MCFG, "cp_feature_center": True,
+                                 "density_zero_init": True}),
 })
 
 

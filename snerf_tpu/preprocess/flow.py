@@ -266,11 +266,19 @@ def make_hybrid_flow_fn(raft_fn: Callable | None = None,
                             jnp.asarray(f_lk[..., ::-1])))
     e_pol = np.asarray(resid(jnp.asarray(g0), jnp.asarray(g1),
                              jnp.asarray(f_pol[..., ::-1])))
+    e_raft = np.asarray(resid(jnp.asarray(g0), jnp.asarray(g1),
+                              jnp.asarray(f_raft[..., ::-1])))
     # strict-improvement margin: where brightness constancy is broken
     # (occlusions) the residuals tie at noise level — prefer the LK
-    # candidate there rather than flip-flopping on noise
+    # candidate there rather than flip-flopping on noise. The RAW raft
+    # candidate covers the regime where the LK polish itself hurts
+    # (large real flows drag the polish off the raft solution —
+    # street-pair-wide measurement, PERF.md round-5).
     use_pol = (e_pol < 0.98 * e_lk)[..., None]
-    return np.where(use_pol, f_pol, f_lk).astype(np.float32)
+    out = np.where(use_pol, f_pol, f_lk).astype(np.float32)
+    e_sel = np.where(use_pol[..., 0], e_pol, e_lk)
+    use_raft = (e_raft < 0.98 * e_sel)[..., None]
+    return np.where(use_raft, f_raft, out).astype(np.float32)
 
   return flow_fn
 
