@@ -193,6 +193,25 @@ ARMS.update({
                                  "density_zero_init": True}),
 })
 
+# The production-trio bisect under the cure (ladder fact: cns_small
+# [center+scale+dz] trains to 41.1 on scene b, but cns_aniso_small
+# [the same + cp_anisotropic + ipe_skip_layer 4 +
+# density_hidden_width 512] collapses right back to 14.56): which of
+# the three round-4 production knobs re-triggers the commit?
+_CURE = {"cp_feature_center": True, "cp_feature_scale": 0.01,
+         "density_zero_init": True}
+ARMS.update({
+    "cnsb_cure_aniso": dict(level_dim=16, lr_delay_frac=0.0,
+                            mcfg={**_CNS_MCFG, **_CURE,
+                                  "cp_anisotropic": True}),
+    "cnsb_cure_skip": dict(level_dim=16, lr_delay_frac=0.0,
+                           mcfg={**_CNS_MCFG, **_CURE,
+                                 "ipe_skip_layer": 4}),
+    "cnsb_cure_dh": dict(level_dim=16, lr_delay_frac=0.0,
+                         mcfg={**_CNS_MCFG, **_CURE,
+                               "density_hidden_width": 512}),
+})
+
 
 def factor_stats(params):
   """Host-side stats of the nerf MLP's CP factor tables.
