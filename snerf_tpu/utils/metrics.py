@@ -57,9 +57,16 @@ def ssim(img0, img1, max_val: float = 1.0, window_size: int = 11,
   mu0 = _blur2d(img0, window)
   mu1 = _blur2d(img1, window)
   mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-  s00 = _blur2d(img0 * img0, window) - mu00
-  s11 = _blur2d(img1 * img1, window) - mu11
+  # E[x^2]-mu^2 in f32 can go slightly NEGATIVE on near-constant
+  # windows (catastrophic cancellation), which pushes the SSIM map
+  # above 1 (observed: flat held-out view reporting 1.04). Variances
+  # are clamped at 0; the covariance is magnitude-capped by
+  # Cauchy-Schwarz so the map stays in [-1, 1].
+  s00 = jnp.maximum(_blur2d(img0 * img0, window) - mu00, 0.0)
+  s11 = jnp.maximum(_blur2d(img1 * img1, window) - mu11, 0.0)
   s01 = _blur2d(img0 * img1, window) - mu01
+  cap = jnp.sqrt(s00 * s11)
+  s01 = jnp.clip(s01, -cap, cap)
   c1 = (0.01 * max_val) ** 2
   c2 = (0.03 * max_val) ** 2
   ssim_map = ((2 * mu01 + c1) * (2 * s01 + c2) /
