@@ -120,6 +120,14 @@ ARMS["cns_center"] = dict(
     ARMS["cns_ema"],
     mcfg={**ARMS["cns_ema"]["mcfg"], "cp_feature_center": True,
           "density_zero_init": True})
+# the SHIPPED config's encoder recipe minus aniso/topology: F=64 +
+# center at FULL scale + dz (f64_small's scale-1e-2 variant collapses
+# on scene b where plain f64_dz trains — the scale knob, not
+# centering, is the F=64 wide-FoV re-trigger hypothesis under test)
+ARMS["f64_center"] = dict(
+    ARMS["f64"], lr_delay_frac=0.0,
+    mcfg={**ARMS["f64"]["mcfg"], "cp_feature_center": True,
+          "density_zero_init": True})
 ARMS["cns_aniso_center"] = dict(
     ARMS["cns_ema"],
     mcfg={**ARMS["cns_ema"]["mcfg"], "cp_anisotropic": True,
